@@ -1,0 +1,130 @@
+"""Configuration tree for the pipeline.
+
+The reference threads three loose param dicts (``lk_params``,
+``feature_params``, ``flann_params``) through ``process``
+(``processor.py:294-301``) and hard-codes everything else (chessboard shape
+``(4, 3)`` at ``processor.py:315,369,422,433``; square side 2 at
+``processor.py:434``; keyframe threshold 0.1 at ``:365``; ORB
+``nfeatures=20000`` at ``:308``; Lowe ratio 0.75 at ``:113``; CLAHE clip 3.5 /
+tiles (8, 8) at ``:22``; BA ``ftol=1e-4`` at ``bundleAdjuster.py:185,235``).
+The driver that sets the dicts was gitignored, so the classic cv2 LK/GFTT
+defaults are used here.
+
+Here every knob lives in one frozen dataclass tree with the reference's
+constants as defaults. Frozen so configs can be static args to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ClaheConfig:
+    """CLAHE contrast enhancement (``processor.py:22``)."""
+
+    clip_limit: float = 3.5
+    tile_grid: Tuple[int, int] = (8, 8)
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """KLT-based keyframe selection (``processor.py:61-110``)."""
+
+    # Fraction of frame width of accumulated flow error that triggers a new
+    # keyframe. `process` passes 0.1 (processor.py:365); the function default
+    # was 0.2 (processor.py:62).
+    threshold: float = 0.1
+    # Pyramidal LK parameters (cv2 calcOpticalFlowPyrLK defaults, since the
+    # reference's driver that chose lk_params was never committed).
+    window: int = 21
+    pyramid_levels: int = 4
+    max_iters: int = 30
+    eps: float = 0.01
+    # Shi-Tomasi re-seeding (cv2 goodFeaturesToTrack; classic LK-demo values).
+    max_corners: int = 512
+    quality_level: float = 0.01
+    min_distance: int = 7
+    block_size: int = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB detection/description (``processor.py:308``: nfeatures=20000)."""
+
+    num_features: int = 20000
+    # Detection capacity per pyramid level (static shape cap).
+    fast_threshold: int = 20
+    num_levels: int = 8
+    scale_factor: float = 1.2
+    patch_size: int = 31
+    harris_block: int = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching (FLANN knnMatch k=2 + Lowe 0.75, processor.py:132-137)."""
+
+    ratio: float = 0.75
+    # Maximum matches kept per keyframe pair (static cap).
+    max_matches: int = 4096
+    # Reject matches whose best Hamming distance exceeds this (256-bit descs).
+    max_distance: int = 96
+    cross_check: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ChessboardConfig:
+    """Calibration target (``processor.py:315,434``)."""
+
+    pattern: Tuple[int, int] = (4, 3)  # inner corners (width, height)
+    side_length: float = 2.0
+    subpix_window: int = 11
+    subpix_iters: int = 30
+    subpix_eps: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Bundle-adjustment stopping criteria (``bundleAdjuster.py:180-192``)."""
+
+    ftol: float = 1e-4
+    max_iters: int = 50
+    init_lambda: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackConfig:
+    """SoA track-store capacities (replaces dict-of-Track, track.py)."""
+
+    max_tracks: int = 16384
+    max_keyframes: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class VolumeConfig:
+    """Volume estimation (new capability; promised by README.md:2, unbuilt)."""
+
+    voxel_resolution: int = 128
+    carve_dilation: int = 9  # pixels of dilation around projected points
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    clahe: ClaheConfig = ClaheConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+    orb: OrbConfig = OrbConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    chessboard: ChessboardConfig = ChessboardConfig()
+    solver: SolverConfig = SolverConfig()
+    tracks: TrackConfig = TrackConfig()
+    volume: VolumeConfig = VolumeConfig()
+    # Frames are streamed to device in chunks of this many for the scan-based
+    # keyframe pass.
+    frame_chunk: int = 32
+
+
+DEFAULT_CONFIG = PipelineConfig()

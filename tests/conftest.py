@@ -1,0 +1,26 @@
+"""Test bootstrap: force an 8-device virtual CPU backend before JAX loads.
+
+Standard JAX fake-backend trick (SURVEY.md §4): all sharded tests run on a
+virtual CPU mesh so the suite is hardware-independent; the driver separately
+dry-runs the multi-chip path.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Force CPU: the session env pins JAX_PLATFORMS=axon (the real TPU), but the
+# test suite must be hardware-independent and deterministic. The installed
+# jax build overrides the env-var default with "axon,cpu", so the config is
+# updated explicitly after import as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# f64 available for oracle comparisons (solvers themselves run f32 on TPU).
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

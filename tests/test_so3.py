@@ -1,0 +1,78 @@
+"""SO(3) exp/log golden tests vs cv2.Rodrigues (SURVEY.md §4 unit strategy)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from meatmodeler_tpu.geometry import so3
+
+
+def rand_rvecs(n, scale=np.pi * 0.9, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v * rng.uniform(1e-3, scale, size=(n, 1))
+
+
+class TestExp:
+    def test_matches_cv2_rodrigues(self):
+        rvecs = rand_rvecs(64)
+        ours = np.asarray(so3.exp(rvecs))
+        for rvec, r in zip(rvecs, ours):
+            expected = cv2.Rodrigues(rvec)[0]
+            np.testing.assert_allclose(r, expected, atol=1e-6)
+
+    def test_identity_at_zero(self):
+        np.testing.assert_allclose(np.asarray(so3.exp(np.zeros(3))), np.eye(3), atol=1e-12)
+
+    def test_small_angle_smooth(self):
+        for eps in [1e-10, 1e-8, 1e-7, 1e-5]:
+            rvec = np.array([eps, 0.0, 0.0])
+            expected = cv2.Rodrigues(rvec)[0]
+            np.testing.assert_allclose(np.asarray(so3.exp(rvec)), expected, atol=1e-9)
+
+    def test_orthonormal(self):
+        rvecs = rand_rvecs(32, seed=1)
+        rs = np.asarray(so3.exp(rvecs))
+        ident = np.einsum("nij,nkj->nik", rs, rs)
+        np.testing.assert_allclose(ident, np.broadcast_to(np.eye(3), ident.shape), atol=1e-6)
+        np.testing.assert_allclose(np.linalg.det(rs), 1.0, atol=1e-6)
+
+
+class TestLog:
+    def test_round_trip(self):
+        rvecs = rand_rvecs(128)
+        back = np.asarray(so3.log(so3.exp(rvecs)))
+        np.testing.assert_allclose(back, rvecs, atol=1e-5)
+
+    def test_matches_cv2(self):
+        rvecs = rand_rvecs(32, seed=2)
+        rs = np.asarray(so3.exp(rvecs))
+        for r in rs:
+            expected = cv2.Rodrigues(r)[0].ravel()
+            np.testing.assert_allclose(np.asarray(so3.log(r)), expected, atol=1e-5)
+
+    @pytest.mark.parametrize("angle", [np.pi - 1e-6, np.pi - 1e-3, np.pi])
+    def test_near_pi(self, angle):
+        rng = np.random.default_rng(3)
+        for _ in range(8):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            rvec = axis * angle
+            r = cv2.Rodrigues(rvec)[0]
+            got = np.asarray(so3.log(r))
+            # log is two-valued at pi: accept either sign.
+            err = min(np.linalg.norm(got - rvec), np.linalg.norm(got + rvec))
+            assert err < 1e-3, (angle, axis, got)
+
+    def test_round_trip_matrix(self):
+        """exp(log(R)) == R even where the rvec branch is ambiguous."""
+        rvecs = rand_rvecs(32, scale=np.pi, seed=4)
+        rs = np.asarray(so3.exp(rvecs))
+        back = np.asarray(so3.exp(so3.log(rs)))
+        np.testing.assert_allclose(back, rs, atol=1e-5)
+
+    def test_batch_shapes(self):
+        rvecs = rand_rvecs(12).reshape(3, 4, 3)
+        assert so3.exp(rvecs).shape == (3, 4, 3, 3)
+        assert so3.log(so3.exp(rvecs)).shape == (3, 4, 3)
