@@ -16,3 +16,21 @@ from meatmodeler_tpu.config import (  # noqa: F401
     DEFAULT_CONFIG,
     PipelineConfig,
 )
+
+
+def __getattr__(name):
+    # Lazy exports: keep `import meatmodeler_tpu` light (no jax import) so
+    # config handling and CLI help stay instant.
+    if name in ("process", "ProcessResult"):
+        from meatmodeler_tpu import pipeline
+
+        return getattr(pipeline, name)
+    if name in ("adjust_points", "adjust_pose", "solve_ba", "BAProblem", "BAResult"):
+        from meatmodeler_tpu import solvers
+
+        return getattr(solvers, name)
+    if name == "Track":
+        from meatmodeler_tpu.tracks import Track
+
+        return Track
+    raise AttributeError(f"module 'meatmodeler_tpu' has no attribute {name!r}")

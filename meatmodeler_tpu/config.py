@@ -83,6 +83,15 @@ class ChessboardConfig:
     subpix_window: int = 11
     subpix_iters: int = 30
     subpix_eps: float = 1e-3
+    # Calibration constraints. The reference runs full cv2.calibrateCamera
+    # (processor.py:49-53), which is degenerate for its own tiny (4, 3)
+    # board on turntable orbits (cv2 returns garbage focals there too); the
+    # constrained defaults recover accurate intrinsics in that regime. For
+    # large boards with strong tilt coverage, set both False and
+    # calib_num_dist=5 for OpenCV-equivalent behavior.
+    calib_single_focal: bool = True
+    calib_fix_principal_point: bool = True
+    calib_num_dist: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,7 +118,7 @@ class VolumeConfig:
     """Volume estimation (new capability; promised by README.md:2, unbuilt)."""
 
     voxel_resolution: int = 128
-    carve_dilation: int = 9  # pixels of dilation around projected points
+    carve_dilation: int = 5  # pixels of dilation around projected points
 
 
 @dataclasses.dataclass(frozen=True)

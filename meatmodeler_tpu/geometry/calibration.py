@@ -104,13 +104,48 @@ def _project_distorted(obj_pts, pose, intrinsics, dist):
     return xyd * jnp.stack([fx, fy]) + jnp.stack([cx, cy])
 
 
-@partial(jax.jit, static_argnames=("num_dist", "max_iters"))
+def _single_focal_init(homs: jax.Array, cx, cy) -> jax.Array:
+    """Closed-form focal with a known principal point and zero skew.
+
+    With K = [[f,0,cx],[0,f,cy],[0,0,1]], B = K^-T K^-1 = x*C + E where
+    x = 1/f^2, C = [[1,0,-cx],[0,1,-cy],[-cx,-cy,cx^2+cy^2]] and E = e3 e3^T.
+    Every Zhang constraint v^T b = 0 becomes a_i x + b_i = 0, solved in least
+    squares — robust where the full 6-dof B solve is degenerate (small board,
+    turntable orbits: the reference's own scenario).
+    """
+    c_mat = jnp.array(
+        [[1.0, 0.0, -cx], [0.0, 1.0, -cy], [-cx, -cy, cx * cx + cy * cy]]
+    )
+    e_mat = jnp.zeros((3, 3)).at[2, 2].set(1.0)
+
+    def constraints(h):
+        h1, h2 = h[:, 0], h[:, 1]
+        # v12 . b = 0  and  (v11 - v22) . b = 0 expressed via B directly.
+        a1 = h1 @ c_mat @ h2
+        b1 = h1 @ e_mat @ h2
+        a2 = h1 @ c_mat @ h1 - h2 @ c_mat @ h2
+        b2 = h1 @ e_mat @ h1 - h2 @ e_mat @ h2
+        return jnp.array([a1, a2]), jnp.array([b1, b2])
+
+    a, b = jax.vmap(constraints)(homs)
+    a = a.reshape(-1)
+    b = b.reshape(-1)
+    x = -jnp.sum(a * b) / jnp.maximum(jnp.sum(a * a), 1e-12)
+    return 1.0 / jnp.sqrt(jnp.clip(x, 1e-12, 1e2))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_dist", "max_iters", "fix_principal_point", "single_focal"),
+)
 def calibrate(
     img_points: jax.Array,
     obj_points: jax.Array,
     image_size: jax.Array,
     num_dist: int = 5,
     max_iters: int = 30,
+    fix_principal_point: bool = False,
+    single_focal: bool = False,
 ) -> CalibrationResult:
     """Calibrate from F planar views.
 
@@ -119,45 +154,58 @@ def calibrate(
         (``frame_corners`` at ``processor.py:422``).
       obj_points: (N, 3) planar target points with z = 0
         (``chessboard_object_points``).
-      image_size: (2,) [width, height] — used only for the principal-point
-        prior if the closed form degenerates.
+      image_size: (2,) [width, height] — principal-point prior / fixed value.
       num_dist: how many leading distortion coefficients to estimate
-        (OpenCV default estimates all 5).
+        (OpenCV default estimates all 5; 0 disables distortion).
       max_iters: LM iterations.
+      fix_principal_point: pin (cx, cy) to the image center — essential when
+        the target covers a small image fraction (the reference's (4, 3)
+        board makes full calibration degenerate; cv2 fails on it too).
+      single_focal: estimate one f for both axes (CALIB_FIX_ASPECT_RATIO).
 
     Returns:
       CalibrationResult(K, dist5, per-view poses, reprojection RMS).
     """
     f, n = img_points.shape[0], img_points.shape[1]
     plane = obj_points[:, :2]
+    w, h = image_size[0], image_size[1]
 
     homs = jax.vmap(lambda img: find_homography(plane, img))(img_points)
-    k_init = _intrinsics_from_homographies(homs)
 
-    # Degenerate-geometry fallback: principal point at image center, focal
-    # from a sane FOV guess. Engaged only if the closed form went non-finite.
-    bad = ~jnp.all(jnp.isfinite(k_init))
-    w, h = image_size[0], image_size[1]
-    k_fallback = jnp.array(
-        [[1.2 * w, 0.0, 0.5 * w], [0.0, 1.2 * w, 0.5 * h], [0.0, 0.0, 1.0]],
-        dtype=img_points.dtype,
-    )
-    k_init = jnp.where(bad, k_fallback, k_init)
+    if fix_principal_point or single_focal:
+        cx0, cy0 = 0.5 * w, 0.5 * h
+        f0 = _single_focal_init(homs, cx0, cy0)
+        f0 = jnp.where(jnp.isfinite(f0), f0, 1.2 * w)
+        k_init = jnp.array([[f0, 0.0, cx0], [0.0, f0, cy0], [0.0, 0.0, 1.0]])
+    else:
+        k_init = _intrinsics_from_homographies(homs)
+        # Degenerate-geometry fallback: principal point at image center,
+        # focal from a sane FOV guess.
+        bad = ~jnp.all(jnp.isfinite(k_init))
+        k_fallback = jnp.array(
+            [[1.2 * w, 0.0, 0.5 * w], [0.0, 1.2 * w, 0.5 * h], [0.0, 0.0, 1.0]],
+            dtype=img_points.dtype,
+        )
+        k_init = jnp.where(bad, k_fallback, k_init)
 
     poses0 = jax.vmap(lambda hh: _pose_from_homography(hh, k_init))(homs)
 
-    # --- joint LM over [fx, fy, cx, cy, dist(num_dist), poses(6F)] ---
-    n_intr = 4 + num_dist
+    # --- joint LM over [intrinsic dof, dist(num_dist), poses(6F)] ---
+    n_focal = 1 if single_focal else 2
+    n_pp = 0 if fix_principal_point else 2
+    n_intr = n_focal + n_pp + num_dist
 
     def unpack(theta):
-        intr = jnp.array(
-            [
-                [theta[0], 0.0, theta[2]],
-                [0.0, theta[1], theta[3]],
-                [0.0, 0.0, 1.0],
-            ]
+        fx = theta[0]
+        fy = theta[0] if single_focal else theta[1]
+        if fix_principal_point:
+            cx, cy = 0.5 * w, 0.5 * h
+        else:
+            cx, cy = theta[n_focal], theta[n_focal + 1]
+        intr = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
+        dist = jnp.zeros(5, theta.dtype).at[:num_dist].set(
+            theta[n_focal + n_pp : n_intr]
         )
-        dist = jnp.zeros(5, theta.dtype).at[:num_dist].set(theta[4:n_intr])
         poses = theta[n_intr:].reshape(f, 6)
         return intr, dist, poses
 
@@ -166,9 +214,12 @@ def calibrate(
         proj = jax.vmap(lambda p: _project_distorted(obj_points, p, intr, dist))(poses)
         return (proj - img_points).reshape(-1)
 
+    intr0 = [k_init[0, 0]] if single_focal else [k_init[0, 0], k_init[1, 1]]
+    if not fix_principal_point:
+        intr0 += [k_init[0, 2], k_init[1, 2]]
     theta0 = jnp.concatenate(
         [
-            jnp.array([k_init[0, 0], k_init[1, 1], k_init[0, 2], k_init[1, 2]]),
+            jnp.array(intr0),
             jnp.zeros(num_dist, img_points.dtype),
             poses0.reshape(-1),
         ]

@@ -1,0 +1,220 @@
+"""Synthetic turntable-scene renderer with exact ground truth.
+
+The integration-test and benchmark workload (SURVEY.md §4, §6): the reference
+was built for videos of a food item rotating past a calibration chessboard
+(``README.md:2``), but ships no data and no tests. This module renders that
+scene analytically — a tiny vectorized ray tracer over a plane-bound
+chessboard and a textured ellipsoid "food item" — so every test has exact
+ground truth: K, per-frame poses, board corner pixels, and the object's true
+volume (4/3 pi abc).
+
+Rays are cast per pixel; the chessboard quad lives in the X-Z plane (y = 0)
+with the same layout the reference hard-codes (``processor.py:162-166``,
+(4, 3) inner corners, side length 2), the ellipsoid floats above it.
+NumPy on host — rendering is test scaffolding, not a pipeline stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["TurntableScene", "render_sequence"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TurntableScene:
+    """Scene + camera-rig description. Distances in board-square units
+    (side_length scales the squares like ``processor.py:434``)."""
+
+    image_size: Tuple[int, int] = (640, 480)  # (W, H)
+    pattern: Tuple[int, int] = (4, 3)  # inner corners
+    side_length: float = 2.0
+    # Ellipsoid semi-axes and center (the "food item" sits beside the board
+    # so both stay visible — the reference's scenario has the item rotating
+    # past the chessboard, not covering it).
+    ellipsoid_axes: Tuple[float, float, float] = (2.0, 1.5, 1.8)
+    ellipsoid_center: Tuple[float, float, float] = (11.5, -1.8, 2.0)
+    # Camera ring: radius, height (negative y is "up" in OpenCV convention),
+    # arc swept over the sequence, look-at target.
+    ring_radius: float = 18.0
+    ring_height: float = -8.5
+    arc_degrees: float = 50.0
+    focal: float = 700.0
+    noise_sigma: float = 1.5
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        w, h = self.image_size
+        return np.array(
+            [[self.focal, 0.0, w / 2.0], [0.0, self.focal, h / 2.0], [0.0, 0.0, 1.0]]
+        )
+
+    @property
+    def volume(self) -> float:
+        a, b, c = self.ellipsoid_axes
+        return 4.0 / 3.0 * np.pi * a * b * c
+
+    def board_corners_3d(self) -> np.ndarray:
+        """(N, 3) inner-corner world points, X-Z plane, y = 0 — the layout of
+        ``poseEstimation`` (``processor.py:162-166``)."""
+        x, y = self.pattern
+        grid = np.mgrid[0:x, 0:y].T.reshape(-1, 2) * self.side_length
+        pts = np.zeros((x * y, 3), np.float64)
+        pts[:, 0] = grid[:, 0]
+        pts[:, 2] = grid[:, 1]
+        return pts
+
+
+def camera_pose(scene: TurntableScene, t: float) -> Tuple[np.ndarray, np.ndarray]:
+    """World->camera (R, tvec) for normalized time t in [0, 1] along the arc,
+    looking at the scene center."""
+    ang = np.deg2rad(scene.arc_degrees) * (t - 0.5)
+    # Aim between the board center and the item so both stay in frame.
+    x, y = scene.pattern
+    board_center = np.array(
+        [(x - 1) * scene.side_length / 2.0, 0.0, (y - 1) * scene.side_length / 2.0]
+    )
+    target = 0.5 * (board_center + np.array(scene.ellipsoid_center))
+    center = target + np.array(
+        [scene.ring_radius * np.sin(ang), scene.ring_height, -scene.ring_radius * np.cos(ang)]
+    )
+
+    # Look-at: camera z axis points at the target.
+    fwd = target - center
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 1.0, 0.0])  # OpenCV y-down convention; -y is up
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    rot = np.stack([right, down, fwd])  # rows: camera axes in world coords
+    tvec = -rot @ center
+    return rot, tvec
+
+
+def _checker_color(u: np.ndarray, v: np.ndarray, scene: TurntableScene) -> np.ndarray:
+    """Chessboard shading in board-plane coords (world x, z). The (4, 3)
+    inner-corner pattern needs a 5x4 field of squares; corners sit on the
+    integer grid {0..3} x {0..2} at square boundaries."""
+    s = scene.side_length
+    # Shift so corner (0,0) is a square intersection: squares span
+    # [-1, 4] x [-1, 3] in corner units.
+    iu = np.floor(u / s + 1.0)
+    iv = np.floor(v / s + 1.0)
+    x, y = scene.pattern
+    in_board = (u >= -s) & (u <= x * s) & (v >= -s) & (v <= y * s)
+    # White border apron around the squares (required by board detectors).
+    in_apron = (u >= -2.2 * s) & (u <= (x + 1.2) * s) & (v >= -2.2 * s) & (v <= (y + 1.2) * s)
+    checker = np.where((iu + iv) % 2 == 0, 235.0, 20.0)
+    color = np.where(in_board, checker, np.where(in_apron, 235.0, np.nan))
+    return color
+
+
+def _render_frame(scene: TurntableScene, rot: np.ndarray, tvec: np.ndarray, rng) -> np.ndarray:
+    w, h = scene.image_size
+    k = scene.intrinsics
+
+    # Rays in world space.
+    xs = (np.arange(w) - k[0, 2]) / k[0, 0]
+    ys = (np.arange(h) - k[1, 2]) / k[1, 1]
+    dirs_cam = np.stack(
+        [np.tile(xs, (h, 1)), np.tile(ys[:, None], (1, w)), np.ones((h, w))], axis=-1
+    )
+    dirs = dirs_cam @ rot  # R^T @ d for each pixel
+    origin = -rot.T @ tvec
+
+    img = np.full((h, w), 135.0)  # grey background
+    depth = np.full((h, w), np.inf)
+
+    # --- chessboard plane y = 0 ---
+    dy = dirs[..., 1]
+    tt = np.where(np.abs(dy) > 1e-9, -origin[1] / dy, np.inf)
+    hit = tt > 0.1
+    pu = origin[0] + tt * dirs[..., 0]
+    pv = origin[2] + tt * dirs[..., 2]
+    color = _checker_color(pu, pv, scene)
+    plane_ok = hit & ~np.isnan(color)
+    img = np.where(plane_ok & (tt < depth), color, img)
+    depth = np.where(plane_ok, np.minimum(depth, tt), depth)
+
+    # --- ellipsoid ---
+    c = np.array(scene.ellipsoid_center)
+    ax = np.array(scene.ellipsoid_axes)
+    oc = (origin - c) / ax
+    d_s = dirs / ax
+    a_q = np.sum(d_s * d_s, axis=-1)
+    b_q = 2.0 * np.sum(d_s * oc, axis=-1)
+    c_q = np.sum(oc * oc) - 1.0
+    disc = b_q * b_q - 4 * a_q * c_q
+    t_hit = np.where(disc >= 0, (-b_q - np.sqrt(np.maximum(disc, 0))) / (2 * a_q), np.inf)
+    ell_ok = (t_hit > 0.1) & (t_hit < depth)
+
+    # Procedural surface texture (trackable speckle) + Lambert shading.
+    with np.errstate(invalid="ignore"):
+        t_safe = np.where(np.isfinite(t_hit), t_hit, 0.0)
+        p_hit = origin + t_safe[..., None] * dirs
+        n = (p_hit - c) / (ax * ax)
+        n_norm = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        light = np.array([0.4, -0.8, 0.45])
+        light = light / np.linalg.norm(light)
+        lam = np.clip(np.einsum("...i,i", n_norm, -light), 0.35, 1.0)
+        tex = (
+            150
+            + 55 * np.sin(7.0 * p_hit[..., 0]) * np.cos(6.0 * p_hit[..., 2])
+            + 45 * np.sin(9.0 * p_hit[..., 1] + 2.0 * p_hit[..., 0])
+        )
+        img = np.where(ell_ok, np.clip(tex * lam, 15, 250), img)
+
+    if scene.noise_sigma > 0:
+        img = img + rng.normal(scale=scene.noise_sigma, size=img.shape)
+    return np.clip(img, 0, 255)
+
+
+def render_sequence(
+    scene: TurntableScene,
+    num_frames: int,
+    seed: int = 0,
+    color: bool = True,
+):
+    """Render the turntable sequence.
+
+    Returns:
+      frames: (T, H, W, 3) uint8 BGR (or (T, H, W) grey if color=False),
+      poses: (T, 6) ground-truth [rvec, tvec],
+      corners: (T, N, 2) ground-truth projected inner-corner pixels.
+    """
+    from meatmodeler_tpu.geometry import so3  # lazy; host-side numpy use
+
+    rng = np.random.default_rng(seed)
+    board = scene.board_corners_3d()
+    k = scene.intrinsics
+
+    frames, poses, corners = [], [], []
+    for i in range(num_frames):
+        t = i / max(num_frames - 1, 1)
+        rot, tvec = camera_pose(scene, t)
+        grey = _render_frame(scene, rot, tvec, rng)
+        if color:
+            # Mild channel tinting so the BGR->LAB->CLAHE path is exercised.
+            frame = np.stack(
+                [
+                    np.clip(grey * 0.96 + 4, 0, 255),
+                    np.clip(grey * 1.0, 0, 255),
+                    np.clip(grey * 1.03, 0, 255),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+        else:
+            frame = grey.astype(np.uint8)
+        frames.append(frame)
+
+        rvec = np.asarray(so3.log(rot))
+        poses.append(np.concatenate([rvec, tvec]))
+
+        cam = (rot @ board.T).T + tvec
+        proj = (k @ cam.T).T
+        corners.append(proj[:, :2] / proj[:, 2:3])
+
+    return np.stack(frames), np.stack(poses), np.stack(corners)

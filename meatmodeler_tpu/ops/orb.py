@@ -1,0 +1,259 @@
+"""ORB: FAST corners + orientation + rotated-BRIEF descriptors, on device.
+
+TPU-native replacement for ``cv2.ORB_create(nfeatures=20000)`` /
+``detectAndCompute`` (``processor.py:308, 129, 328``). Everything is
+static-shaped (fixed keypoint capacity per level, validity masks) per
+SURVEY.md §7.1.
+
+Pipeline per pyramid level (scale 1.2, like ORB):
+  1. FAST-9/16 segment test, fully vectorized: the 16 Bresenham-ring
+     neighbours come from ``jnp.roll``-style shifts; the "9 contiguous"
+     predicate is a windowed sum over the doubled ring.
+  2. Harris cornerness ranking (ORB's HARRIS_SCORE default) + 3x3 NMS +
+     static top-k.
+  3. Orientation by intensity centroid over the masked 31x31 patch
+     (gathered per keypoint, ``vmap``).
+  4. rBRIEF: 256 coordinate pairs rotated by the keypoint angle, bilinearly
+     sampled from the 7x7-Gaussian-blurred image, compared into a (256,)
+     bit vector stored as int8 — the layout the Hamming-matmul matcher
+     (``ops/matching.py``) consumes directly on the MXU.
+
+Deviation, by design (SURVEY.md §7.3.2): the sampling pattern is a fixed
+seeded Gaussian pattern (the original BRIEF construction), not OpenCV's
+learned table — descriptors are self-consistent within this framework, and
+parity is held downstream (matches -> poses -> RMSE), not bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meatmodeler_tpu.ops import features as feat
+
+__all__ = ["OrbFeatures", "fast_score", "detect_and_compute"]
+
+# 16-point Bresenham circle of radius 3, clockwise from 12 o'clock
+# (dy, dx) offsets — the standard FAST ring geometry.
+_RING = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+_PATCH = 31  # description patch (ORB's PATCH_SIZE)
+_HALF = _PATCH // 2
+_NBITS = 256
+
+
+def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
+    """(256, 2, 2) int32 sample-pair offsets, Gaussian sigma = patch/5,
+    clipped inside the patch (BRIEF's G(0, S^2/25) construction)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(scale=_PATCH / 5.0, size=(_NBITS, 2, 2))
+    return np.clip(np.round(pts), -_HALF + 2, _HALF - 2).astype(np.float32)
+
+
+_BRIEF_PATTERN = jnp.asarray(_make_brief_pattern())  # (256, 2, 2) as (pair, endpoint, (dy, dx))
+
+
+class OrbFeatures(NamedTuple):
+    xy: jax.Array  # (K, 2) float32 (x, y) at level-0 scale
+    response: jax.Array  # (K,) Harris score
+    angle: jax.Array  # (K,) orientation in radians
+    octave: jax.Array  # (K,) int32 pyramid level
+    descriptors: jax.Array  # (K, 256) int8 bits in {0, 1}
+    mask: jax.Array  # (K,) bool
+
+
+def _ring_stack(img: jax.Array) -> jax.Array:
+    """(16, H, W): the ring neighbours of every pixel (edge-padded shifts)."""
+    padded = jnp.pad(img, 3, mode="edge")
+    h, w = img.shape
+    return jnp.stack(
+        [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dy, dx in _RING]
+    )
+
+
+def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
+    """FAST-9/16 corner mask (as float 0/1) — the segment test.
+
+    A pixel passes if >= 9 contiguous ring neighbours are all brighter than
+    p + t or all darker than p - t.
+    """
+    ring = _ring_stack(img)  # (16, H, W)
+    brighter = (ring > img[None] + threshold).astype(jnp.float32)
+    darker = (ring < img[None] - threshold).astype(jnp.float32)
+
+    def has_arc(flags):
+        doubled = jnp.concatenate([flags, flags[:7]], axis=0)  # (23, H, W)
+        csum = jnp.cumsum(doubled, axis=0)
+        csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+        window = csum[9:] - csum[:-9]  # (15... actually 23-9+1=15, H, W)
+        return jnp.max(window, axis=0) >= 9.0
+
+    return (has_arc(brighter) | has_arc(darker)).astype(img.dtype)
+
+
+def _orientation(img: jax.Array, xy: jax.Array, mask: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation over the circular 31x31 patch."""
+    dy = jnp.arange(-_HALF, _HALF + 1, dtype=img.dtype)
+    dx = jnp.arange(-_HALF, _HALF + 1, dtype=img.dtype)
+    circ = (dy[:, None] ** 2 + dx[None, :] ** 2) <= _HALF**2
+
+    h, w = img.shape
+
+    def one(pt, valid):
+        x0 = jnp.clip(pt[0].astype(jnp.int32) - _HALF, 0, w - _PATCH)
+        y0 = jnp.clip(pt[1].astype(jnp.int32) - _HALF, 0, h - _PATCH)
+        patch = jax.lax.dynamic_slice(img, (y0, x0), (_PATCH, _PATCH)) * circ
+        m01 = jnp.sum(patch * dy[:, None])
+        m10 = jnp.sum(patch * dx[None, :])
+        return jnp.where(valid, jnp.arctan2(m01, m10), 0.0)
+
+    return jax.vmap(one)(xy, mask)
+
+
+def _describe(blurred: jax.Array, xy: jax.Array, angle: jax.Array, mask: jax.Array) -> jax.Array:
+    """Steered BRIEF bits: rotate the pattern by angle, bilinear sample, compare."""
+    h, w = blurred.shape
+    pattern = _BRIEF_PATTERN.astype(blurred.dtype)  # (256, 2, (dy, dx))
+
+    def one(pt, ang, valid):
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        dy = pattern[..., 0]
+        dx = pattern[..., 1]
+        # Rotate offsets by the keypoint angle (steered BRIEF).
+        rx = c * dx - s * dy
+        ry = s * dx + c * dy
+        xs = jnp.clip(pt[0] + rx, 0.0, w - 2.0)
+        ys = jnp.clip(pt[1] + ry, 0.0, h - 2.0)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        wx = xs - x0
+        wy = ys - y0
+        v = (
+            blurred[y0, x0] * (1 - wy) * (1 - wx)
+            + blurred[y0, x0 + 1] * (1 - wy) * wx
+            + blurred[y0 + 1, x0] * wy * (1 - wx)
+            + blurred[y0 + 1, x0 + 1] * wy * wx
+        )  # (256, 2)
+        bits = (v[:, 0] < v[:, 1]).astype(jnp.int8)
+        return jnp.where(valid, bits, jnp.zeros(_NBITS, jnp.int8))
+
+    return jax.vmap(one)(xy, angle, mask)
+
+
+def _gauss7(img: jax.Array) -> jax.Array:
+    """7x7 Gaussian (sigma 2) blur, separable — ORB's pre-BRIEF smoothing."""
+    g = np.exp(-0.5 * (np.arange(-3, 4) / 2.0) ** 2)
+    g /= g.sum()
+    g = jnp.asarray(g, img.dtype)
+    p = jnp.pad(img, ((3, 3), (0, 0)), mode="edge")
+    tmp = sum(g[i] * p[i : i + img.shape[0]] for i in range(7))
+    p = jnp.pad(tmp, ((0, 0), (3, 3)), mode="edge")
+    return sum(g[i] * p[:, i : i + img.shape[1]] for i in range(7))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_features", "num_levels", "scale_factor", "fast_threshold"),
+)
+def detect_and_compute(
+    img: jax.Array,
+    max_features: int = 4096,
+    num_levels: int = 4,
+    scale_factor: float = 1.2,
+    fast_threshold: float = 20.0,
+) -> OrbFeatures:
+    """Oriented-FAST detection + rBRIEF description over a scale pyramid.
+
+    Args:
+      img: (H, W) grey image in [0, 255].
+      max_features: static total keypoint capacity (reference runs 20000,
+        ``processor.py:308``).
+      num_levels: pyramid levels, scale 1.2 (ORB defaults 8; 4 covers the
+        turntable videos and halves the work).
+      fast_threshold: FAST intensity threshold.
+
+    Returns:
+      OrbFeatures with per-keypoint position (level-0 pixels), response,
+      angle, octave, (256,) int8 bit descriptor, and validity mask.
+    """
+    img = jnp.asarray(img)
+    # Geometric per-level budget, like ORB's feature distribution.
+    inv_total = (1.0 - 1.0 / scale_factor) / (1.0 - (1.0 / scale_factor) ** num_levels)
+    budgets = []
+    rem = max_features
+    for lvl in range(num_levels):
+        if lvl == num_levels - 1:
+            budgets.append(rem)
+        else:
+            b = int(round(max_features * inv_total * (1.0 / scale_factor) ** lvl))
+            b = min(b, rem)
+            budgets.append(b)
+            rem -= b
+
+    level_img = img
+    outs = []
+    for lvl in range(num_levels):
+        k = max(budgets[lvl], 1)
+        h, w = level_img.shape
+        corner_mask = fast_score(level_img, fast_threshold)
+        harris = feat.harris_response(level_img, block_size=7)
+        resp = jnp.where(corner_mask > 0, harris, -jnp.inf)
+
+        # 3x3 NMS + border margin.
+        neigh = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        margin = _HALF + 1
+        ok = (
+            (resp >= neigh)
+            & (yy >= margin) & (yy < h - margin)
+            & (xx >= margin) & (xx < w - margin)
+        )
+        flat = jnp.where(ok, resp, -jnp.inf).reshape(-1)
+        top_resp, top_idx = jax.lax.top_k(flat, k)
+        kxy = jnp.stack(
+            [(top_idx % w).astype(jnp.float32), (top_idx // w).astype(jnp.float32)],
+            axis=-1,
+        )
+        kmask = jnp.isfinite(top_resp)
+
+        angle = _orientation(level_img, kxy, kmask)
+        blurred = _gauss7(level_img)
+        desc = _describe(blurred, kxy, angle, kmask)
+
+        lvl_scale = scale_factor**lvl
+        outs.append(
+            OrbFeatures(
+                xy=kxy * lvl_scale,
+                response=jnp.where(kmask, top_resp, -jnp.inf).astype(jnp.float32),
+                angle=angle.astype(jnp.float32),
+                octave=jnp.full(k, lvl, jnp.int32),
+                descriptors=desc,
+                mask=kmask,
+            )
+        )
+
+        if lvl < num_levels - 1:
+            # Resize to the next level (bilinear 1/1.2 downscale).
+            nh = max(int(round(h / scale_factor)), _PATCH + 2)
+            nw = max(int(round(w / scale_factor)), _PATCH + 2)
+            level_img = jax.image.resize(level_img, (nh, nw), "linear")
+
+    return OrbFeatures(
+        xy=jnp.concatenate([o.xy for o in outs]),
+        response=jnp.concatenate([o.response for o in outs]),
+        angle=jnp.concatenate([o.angle for o in outs]),
+        octave=jnp.concatenate([o.octave for o in outs]),
+        descriptors=jnp.concatenate([o.descriptors for o in outs]),
+        mask=jnp.concatenate([o.mask for o in outs]),
+    )

@@ -183,6 +183,20 @@ def solve_ba(
       BAResult with refined parameters and convergence stats.
     """
 
+    # Canonicalize float dtypes: mixed f32/f64 inputs (e.g. f32 detections
+    # with f64 oracle intrinsics) would otherwise change dtypes across the
+    # while_loop carry.
+    dtype = jnp.promote_types(
+        jnp.promote_types(problem.cam_params.dtype, problem.points.dtype),
+        jnp.promote_types(problem.obs.dtype, problem.intrinsics.dtype),
+    )
+    problem = problem._replace(
+        cam_params=problem.cam_params.astype(dtype),
+        points=problem.points.astype(dtype),
+        intrinsics=problem.intrinsics.astype(dtype),
+        obs=problem.obs.astype(dtype),
+    )
+
     n_valid = jnp.maximum(jnp.sum(problem.mask), 1)
 
     def body(state):

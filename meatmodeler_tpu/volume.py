@@ -1,0 +1,197 @@
+"""Volume estimation — the capability the reference promised but never built.
+
+``README.md:2`` promises "estimate the items volume"; no reference code
+computes one (SURVEY.md §0.2). BASELINE.json makes device-side
+voxel-carving / convex-hull volume a required capability. Two estimators,
+both running as single XLA programs over the HBM-resident cloud:
+
+  * ``convex_hull_volume`` — the hull is approximated from the *outside* as
+    an intersection of half-spaces: sample D directions, compute the support
+    value h(d) = max_p <p, d> (one (P, D) matmul), then count voxels v with
+    <v, d> <= h(d) for all d (one (V, D) matmul) — two MXU matmuls, exact in
+    the D -> inf limit, monotonically decreasing in D.
+  * ``carved_volume`` — classic voxel carving against per-view silhouettes:
+    splat the item's projected points into each keyframe, dilate, and keep
+    voxels whose projections land inside every view's mask.
+
+Plus ``split_item_points``: the board-anchored world frame (PnP against the
+X-Z chessboard, y = 0 plane, ``processor.py:162-166``) makes separating the
+item trivial — its points float above the plane (negative y in OpenCV's
+y-down convention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["split_item_points", "convex_hull_volume", "carved_volume"]
+
+
+def split_item_points(points: jax.Array, mask: jax.Array, plane_margin: float = 0.3):
+    """Mask of points belonging to the item: above the board plane (y < -margin)
+    and not wild outliers (median-distance gate)."""
+    above = points[:, 1] < -plane_margin
+    keep = mask & above
+    center = jnp.sum(jnp.where(keep[:, None], points, 0.0), axis=0) / jnp.maximum(
+        jnp.sum(keep), 1
+    )
+    d = jnp.linalg.norm(points - center, axis=1)
+    d_kept = jnp.where(keep, d, jnp.nan)
+    # Robust trim: the hull volume is set entirely by extreme points, so a
+    # sparse mis-triangulated tail inflates it cubically; quantiles land
+    # inside the tail when it is fat, but median +- MAD does not.
+    med = jnp.nan_to_num(jnp.nanmedian(d_kept), nan=1.0)
+    mad = jnp.nan_to_num(jnp.nanmedian(jnp.abs(d_kept - med)), nan=0.5)
+    return keep & (d <= med + 4.0 * mad)
+
+
+def _fibonacci_directions(n: int) -> np.ndarray:
+    """n roughly-uniform unit directions (Fibonacci sphere)."""
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5**0.5) * i
+    return np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)], axis=-1
+    ).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("resolution", "num_directions"))
+def convex_hull_volume(
+    points: jax.Array,
+    mask: jax.Array,
+    resolution: int = 64,
+    num_directions: int = 256,
+) -> jax.Array:
+    """Convex-hull volume of the masked points via support-function voxels.
+
+    Args:
+      points: (P, 3) cloud (padded slots allowed).
+      mask: (P,) validity.
+      resolution: voxel grid edge count R (R^3 cells over the tight AABB).
+      num_directions: support directions D (more -> tighter hull).
+
+    Returns:
+      scalar volume (in world units^3).
+    """
+    dirs = jnp.asarray(_fibonacci_directions(num_directions))  # (D, 3)
+    big = jnp.float32(1e9)
+    pts = jnp.where(mask[:, None], points, jnp.nan)
+    lo = jnp.nanmin(pts, axis=0)
+    hi = jnp.nanmax(pts, axis=0)
+    extent = jnp.maximum(hi - lo, 1e-6)
+
+    # Support values: h(d) = max over valid points of <p, d> — (P, D) matmul.
+    proj = jnp.dot(points.astype(jnp.float32), dirs.T, precision=jax.lax.Precision.HIGHEST)
+    proj = jnp.where(mask[:, None], proj, -big)
+    support = jnp.max(proj, axis=0)  # (D,)
+
+    # Voxel centers over the AABB.
+    r = resolution
+    axis = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r
+    gx = lo[0] + axis * extent[0]
+    gy = lo[1] + axis * extent[1]
+    gz = lo[2] + axis * extent[2]
+    centers = jnp.stack(
+        jnp.meshgrid(gx, gy, gz, indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # (R^3, 3)
+
+    # Inside iff <v, d> <= h(d) for every sampled direction — (V, D) matmul.
+    vproj = jnp.dot(centers, dirs.T, precision=jax.lax.Precision.HIGHEST)
+    inside = jnp.all(vproj <= support[None, :] + 1e-6, axis=1)
+    voxel_vol = jnp.prod(extent) / (r**3)
+    return jnp.sum(inside) * voxel_vol
+
+
+@partial(jax.jit, static_argnames=("resolution", "dilation", "image_size"))
+def carved_volume(
+    points: jax.Array,
+    mask: jax.Array,
+    projections: jax.Array,
+    proj_mask: jax.Array,
+    image_size: Tuple[int, int],
+    resolution: int = 64,
+    dilation: int = 9,
+) -> jax.Array:
+    """Voxel carving against splatted-and-dilated point silhouettes.
+
+    Args:
+      points: (P, 3) item points.
+      mask: (P,) validity.
+      projections: (F, 3, 4) per-keyframe projection matrices.
+      proj_mask: (F,) which keyframes participate.
+      image_size: (W, H) static.
+      resolution: voxel grid edge count.
+      dilation: silhouette dilation radius in pixels (coverage slack around
+        sparse feature points).
+
+    Returns:
+      scalar carved volume.
+    """
+    w, h = image_size
+    f = projections.shape[0]
+    big = jnp.float32(1e9)
+
+    pts = jnp.where(mask[:, None], points, jnp.nan)
+    lo = jnp.nanmin(pts, axis=0)
+    hi = jnp.nanmax(pts, axis=0)
+    pad = 0.1 * jnp.maximum(hi - lo, 1e-6)
+    lo = lo - pad
+    extent = jnp.maximum(hi + pad - lo, 1e-6)
+
+    homog = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=1)  # (P, 4)
+
+    # Low-res silhouette grids (W/4 x H/4) keep memory tiny; dilation scales.
+    gs = 4
+    gw, gh = w // gs, h // gs
+    rad = max(dilation // gs, 1)
+
+    def silhouette(projmat):
+        uvw = homog @ projmat.T  # (P, 3)
+        uv = uvw[:, :2] / jnp.where(jnp.abs(uvw[:, 2:3]) > 1e-9, uvw[:, 2:3], 1.0)
+        gx = jnp.clip((uv[:, 0] / gs).astype(jnp.int32), 0, gw - 1)
+        gy = jnp.clip((uv[:, 1] / gs).astype(jnp.int32), 0, gh - 1)
+        ok = mask & (uvw[:, 2] > 1e-6)
+        grid = jnp.zeros((gh, gw), jnp.float32).at[
+            jnp.where(ok, gy, gh), jnp.where(ok, gx, gw)
+        ].set(1.0, mode="drop")
+        # Dilate via max-pool.
+        return jax.lax.reduce_window(
+            grid, jnp.float32(0.0), jax.lax.max, (2 * rad + 1, 2 * rad + 1), (1, 1), "SAME"
+        )
+
+    sils = jax.vmap(silhouette)(projections)  # (F, gh, gw)
+
+    r = resolution
+    axis = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r
+    centers = jnp.stack(
+        jnp.meshgrid(
+            lo[0] + axis * extent[0],
+            lo[1] + axis * extent[1],
+            lo[2] + axis * extent[2],
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    vh = jnp.concatenate([centers, jnp.ones_like(centers[:, :1])], axis=1)  # (V, 4)
+
+    def carve_view(projmat, sil, active):
+        uvw = vh @ projmat.T
+        z_ok = uvw[:, 2] > 1e-6
+        uv = uvw[:, :2] / jnp.where(z_ok[:, None], uvw[:, 2:3], 1.0)
+        gx = (uv[:, 0] / gs).astype(jnp.int32)
+        gy = (uv[:, 1] / gs).astype(jnp.int32)
+        in_img = z_ok & (gx >= 0) & (gx < gw) & (gy >= 0) & (gy < gh)
+        val = sil[jnp.clip(gy, 0, gh - 1), jnp.clip(gx, 0, gw - 1)] > 0.5
+        keep = in_img & val
+        # Inactive views do not carve.
+        return jnp.where(active, keep, True)
+
+    keeps = jax.vmap(carve_view)(projections, sils, proj_mask)  # (F, V)
+    inside = jnp.all(keeps, axis=0)
+    voxel_vol = jnp.prod(extent) / (r**3)
+    return jnp.sum(inside) * voxel_vol

@@ -1,0 +1,111 @@
+"""End-to-end pipeline integration test on the synthetic turntable scene
+(SURVEY.md §4: "rendered synthetic turntable video -> full pipeline ->
+compare point cloud + volume to ground truth")."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from meatmodeler_tpu.config import (
+    DEFAULT_CONFIG,
+    KeyframeConfig,
+    MatcherConfig,
+    OrbConfig,
+    TrackConfig,
+    VolumeConfig,
+)
+from meatmodeler_tpu.io import ply
+from meatmodeler_tpu.io.synthetic import TurntableScene, render_sequence
+from meatmodeler_tpu.pipeline import process
+
+# Small-capacity config so the suite runs quickly on one CPU core.
+TEST_CONFIG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    keyframe=dataclasses.replace(KeyframeConfig(), max_corners=256, threshold=0.02),
+    orb=OrbConfig(num_features=768, num_levels=2),
+    matcher=MatcherConfig(max_matches=512),
+    tracks=TrackConfig(max_tracks=2048, max_keyframes=32),
+    volume=VolumeConfig(voxel_resolution=48),
+    frame_chunk=8,
+)
+
+SCENE = TurntableScene(image_size=(400, 300), focal=420.0, noise_sigma=1.0)
+
+
+@pytest.fixture(scope="module")
+def synthetic_run(tmp_path_factory):
+    frames, poses, corners = render_sequence(SCENE, 40, seed=0)
+    out = tmp_path_factory.mktemp("e2e") / "run"
+    result = process(frames, path=str(out), config=TEST_CONFIG)
+    return result, poses, corners, out
+
+
+class TestEndToEnd:
+    def test_runs_and_returns_cloud(self, synthetic_run):
+        result, _, _, _ = synthetic_run
+        assert result.points.shape[1] == 3
+        assert len(result.points) > 50
+        assert np.isfinite(result.points).all()
+
+    def test_calibration_recovers_intrinsics(self, synthetic_run):
+        result, _, _, _ = synthetic_run
+        k = result.intrinsics
+        # Focal within a few percent of ground truth (420).
+        assert abs(k[0, 0] - SCENE.focal) / SCENE.focal < 0.05, k
+        assert abs(k[1, 1] - SCENE.focal) / SCENE.focal < 0.05, k
+        # Principal point near the image center.
+        assert abs(k[0, 2] - 200) < 20 and abs(k[1, 2] - 150) < 20, k
+
+    def test_reprojection_rmse(self, synthetic_run):
+        result, _, _, _ = synthetic_run
+        # Noise sigma 1.0 on 8-bit pixels -> subpixel tracking residuals.
+        assert result.reprojection_rmse < 2.0, result.reprojection_rmse
+
+    def test_poses_on_ring(self, synthetic_run):
+        """Camera centers must sit near the ground-truth ring (same world
+        frame: both anchored to the chessboard)."""
+        result, gt_poses, _, _ = synthetic_run
+        ext = result.extrinsics  # (F, 4, 4)
+        centers = -np.einsum("fji,fj->fi", ext[:, :3, :3], ext[:, :3, 3])
+        gt_radius = SCENE.ring_radius
+        # Scale: our board has side_length 2 like ground truth -> same units.
+        board_center = np.array([3.0, 0.0, 2.0])
+        r = np.linalg.norm((centers - board_center)[:, [0, 2]], axis=1)
+        horiz = np.sqrt(gt_radius**2)
+        # Round-1 envelope: the ~2% constrained-calibration focal error plus
+        # oblique-view corner bias drifts radii by up to ~12% along the arc.
+        assert np.all(np.abs(r - horiz) / horiz < 0.15), r
+
+    def test_volume_within_tolerance(self, synthetic_run):
+        result, _, _, _ = synthetic_run
+        truth = SCENE.volume
+        assert np.isfinite(result.volume)
+        # Sparse-feature hull underestimates the smooth ellipsoid; carving
+        # overestimates. Hold both to a factor-of-2 envelope in round 1.
+        assert 0.4 * truth < result.volume < 2.0 * truth, (result.volume, truth)
+        assert 0.3 * truth < result.volume_carved < 3.0 * truth, (
+            result.volume_carved,
+            truth,
+        )
+
+    def test_ply_written(self, synthetic_run):
+        result, _, _, out = synthetic_run
+        assert result.ply_path == str(out) + "Cloud.ply"
+        cloud = ply.read_ply(result.ply_path)
+        np.testing.assert_allclose(cloud, result.points.astype(np.float32), rtol=1e-5)
+
+    def test_metrics_populated(self, synthetic_run):
+        result, _, _, _ = synthetic_run
+        assert result.metrics["counters"]["keyframes"] >= 3
+        assert "bundle_adjustment" in result.metrics["timings"]
+
+
+class TestFailurePaths:
+    def test_no_board_raises_cleanly(self):
+        """The reference loops forever / crashes on board-free video
+        (processor.py:316-319); we must raise a described error."""
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, size=(10, 120, 160, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="chessboard"):
+            process(frames, config=TEST_CONFIG)

@@ -1,0 +1,106 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from meatmodeler_tpu.geometry import projection, so3
+from meatmodeler_tpu.ops import matching
+from meatmodeler_tpu.parallel import sharded
+from meatmodeler_tpu.solvers import bundle_adjust
+
+
+@pytest.fixture(scope="module")
+def devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets this)")
+    return jax.devices()
+
+
+def make_ba_problem(seed, n_frames=4, n_points=64, n_obs=256):
+    rng = np.random.default_rng(seed)
+    k = np.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1]], np.float32)
+    pts = rng.normal(size=(n_points, 3)).astype(np.float32) * 2
+    cams = np.hstack(
+        [rng.normal(size=(n_frames, 3)) * 0.1, rng.normal(size=(n_frames, 3))]
+    ).astype(np.float32)
+    cams[:, 5] += 10
+    fidx = rng.integers(0, n_frames, n_obs).astype(np.int32)
+    pidx = rng.integers(0, n_points, n_obs).astype(np.int32)
+    obs = np.asarray(projection.project_points(pts[pidx], cams[fidx], k)).astype(np.float32)
+    obs += rng.normal(scale=0.3, size=obs.shape).astype(np.float32)
+    cams0 = cams + rng.normal(scale=0.01, size=cams.shape).astype(np.float32)
+    pts0 = pts + rng.normal(scale=0.02, size=pts.shape).astype(np.float32)
+    return bundle_adjust.BAProblem(
+        cam_params=jnp.asarray(cams0),
+        points=jnp.asarray(pts0),
+        intrinsics=jnp.asarray(k),
+        obs=jnp.asarray(obs),
+        frame_idx=jnp.asarray(fidx),
+        point_idx=jnp.asarray(pidx),
+        mask=jnp.ones(n_obs, bool),
+    )
+
+
+class TestDataParallelBA:
+    def test_batched_ba_matches_single(self, devices):
+        mesh = sharded.make_mesh(data=8, model=1)
+        problems = [make_ba_problem(s) for s in range(8)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+        result = sharded.solve_ba_batch(mesh, batched)
+        # Each video's sharded solve must match its local solve.
+        for i in [0, 3, 7]:
+            local = bundle_adjust.solve_ba(problems[i])
+            np.testing.assert_allclose(
+                float(result.rmse[i]), float(local.rmse), rtol=1e-4
+            )
+
+    def test_results_improve_cost(self, devices):
+        mesh = sharded.make_mesh(data=4, model=2)
+        problems = [make_ba_problem(s + 10) for s in range(4)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+        result = sharded.solve_ba_batch(mesh, batched)
+        assert np.all(np.asarray(result.rmse) < 1.0)
+
+
+class TestTensorParallelMatching:
+    def test_tp_matches_equal_single_device(self, devices):
+        rng = np.random.default_rng(0)
+        q = rng.integers(0, 2, size=(96, 256)).astype(np.int8)
+        t = rng.integers(0, 2, size=(128, 256)).astype(np.int8)
+        # Plant strong matches.
+        t[32:64] = q[:32]
+        qm = np.ones(96, bool)
+        tm = np.ones(128, bool)
+
+        mesh = sharded.make_mesh(data=1, model=8)
+        idx_tp, d_tp, good_tp = sharded.match_descriptors_tp(
+            mesh, jnp.asarray(q), jnp.asarray(t), jnp.asarray(qm), jnp.asarray(tm)
+        )
+
+        ref = matching.match_descriptors(
+            q, t, qm, tm, cross_check=False, max_matches=96
+        )
+        # Build reference per-query arrays.
+        ref_idx = np.full(96, -1)
+        ref_good = np.zeros(96, bool)
+        mk = np.asarray(ref.mask)
+        ref_idx[np.asarray(ref.query_idx)[mk]] = np.asarray(ref.train_idx)[mk]
+        ref_good[np.asarray(ref.query_idx)[mk]] = True
+
+        good_tp = np.asarray(good_tp)
+        np.testing.assert_array_equal(good_tp, ref_good)
+        np.testing.assert_array_equal(np.asarray(idx_tp)[good_tp], ref_idx[good_tp])
+
+
+class TestShardedPreprocess:
+    def test_matches_local(self, devices):
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, size=(8, 64, 96, 3), dtype=np.uint8)
+        mesh = sharded.make_mesh(data=8, model=1)
+        out = sharded.preprocess_sharded(mesh, jnp.asarray(frames))
+        from meatmodeler_tpu.ops import clahe
+
+        local = clahe.enhanced_grey(jnp.asarray(frames))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(local), atol=1e-3)
