@@ -37,13 +37,14 @@ class KeyframeConfig:
     # was 0.2 (processor.py:62).
     threshold: float = 0.1
     # Pyramidal LK parameters (cv2 calcOpticalFlowPyrLK defaults, since the
-    # reference's driver that chose lk_params was never committed).
+    # reference's driver that chose lk_params was never committed; iteration
+    # count trimmed — the eps freeze converges in < 10 steps in practice).
     window: int = 21
     pyramid_levels: int = 4
-    max_iters: int = 30
+    max_iters: int = 10
     eps: float = 0.01
     # Shi-Tomasi re-seeding (cv2 goodFeaturesToTrack; classic LK-demo values).
-    max_corners: int = 512
+    max_corners: int = 128
     quality_level: float = 0.01
     min_distance: int = 7
     block_size: int = 7

@@ -75,22 +75,28 @@ def find_chessboard(grey: np.ndarray, pattern: Tuple[int, int]) -> Optional[np.n
 
 
 def _grad_window(img, center, win):
-    """Bilinearly sampled intensity window + central-difference gradients."""
-    half = win // 2
-    dy = jnp.arange(-half - 1, half + 2, dtype=img.dtype)
-    dx = jnp.arange(-half - 1, half + 2, dtype=img.dtype)
-    ys = center[1] + dy[:, None]
-    xs = center[0] + dx[None, :]
+    """Bilinearly sampled intensity window + central-difference gradients.
+
+    One dynamic_slice block load + four shifted views (fast under vmap on
+    TPU), same scheme as ``ops.klt._bilinear_window``.
+    """
+    size = win + 2  # +1 ring for the central differences
+    half = (size - 1) / 2.0
+    pad = size + 1  # edge-pad: border windows sample padding, never shift
+    img = jnp.pad(img, pad, mode="edge")
     h, w = img.shape
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
-    wy = ys - y0
-    wx = xs - x0
+    tl = center - half + pad
+    t0 = jnp.floor(tl)
+    fx = tl[0] - t0[0]
+    fy = tl[1] - t0[1]
+    x0 = jnp.clip(t0[0].astype(jnp.int32), 0, w - size - 1)
+    y0 = jnp.clip(t0[1].astype(jnp.int32), 0, h - size - 1)
+    big = jax.lax.dynamic_slice(img, (y0, x0), (size + 1, size + 1))
     v = (
-        img[y0, x0] * (1 - wy) * (1 - wx)
-        + img[y0, x0 + 1] * (1 - wy) * wx
-        + img[y0 + 1, x0] * wy * (1 - wx)
-        + img[y0 + 1, x0 + 1] * wy * wx
+        big[:-1, :-1] * (1 - fy) * (1 - fx)
+        + big[:-1, 1:] * (1 - fy) * fx
+        + big[1:, :-1] * fy * (1 - fx)
+        + big[1:, 1:] * fy * fx
     )
     gx = (v[1:-1, 2:] - v[1:-1, :-2]) * 0.5
     gy = (v[2:, 1:-1] - v[:-2, 1:-1]) * 0.5

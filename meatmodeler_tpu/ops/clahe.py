@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["clahe"]
 
@@ -104,32 +105,61 @@ def _clahe_single(img: jax.Array, clip_limit: float, tiles: Tuple[int, int]) -> 
     lut = lut.reshape(ty, tx, 256)
 
     # --- bilinear interpolation between the 4 surrounding tile LUTs ---
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    # Position in tile-center coordinates (OpenCV: y * inv_th - 0.5).
-    fy = ys / th - 0.5
-    fx = xs / tw - 0.5
-    y0 = jnp.clip(jnp.floor(fy), 0, ty - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(fx), 0, tx - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0 + 1, 0, ty - 1)
-    x1 = jnp.clip(x0 + 1, 0, tx - 1)
-    wy = jnp.clip(fy - y0, 0.0, 1.0)[:, None]  # (H, 1)
-    wx = jnp.clip(fx - x0, 0.0, 1.0)[None, :]  # (1, W)
+    # Gather-free: a per-pixel scattered LUT gather is pathological on the
+    # TPU backend (hundreds of seconds to compile, ~46 ms/frame at 1080p).
+    # Instead the image splits into (ty+1) x (tx+1) static bands between
+    # tile centers; within a band the 4 source tiles are FIXED, so the
+    # lookup becomes a one-hot(pixel) @ lut4 matmul — MXU work that
+    # compiles in seconds and runs in microseconds.
+    pix = vals[:h, :w].astype(jnp.bfloat16)  # 0..255 exact in bf16
+    bins = jnp.arange(256, dtype=jnp.bfloat16)
 
-    pix = vals[:h, :w]
-    y0g = y0[:, None]
-    y1g = y1[:, None]
-    x0g = x0[None, :]
-    x1g = x1[None, :]
+    # Split rows into bands between vertical tile centers: within a band the
+    # two contributing tile ROWS are fixed, so the lookup over that band is
+    # ONE (band_pixels, 256) x (256, 2*tx) matmul; the horizontal tile
+    # interpolation is a separable einsum with per-column weights.
+    def band_bounds(n_tiles, tile_px, total):
+        centers = [int(np.ceil((i + 0.5) * tile_px)) for i in range(n_tiles)]
+        bounds = [0] + [min(c, total) for c in centers] + [total]
+        out = [bounds[0]]
+        for b in bounds[1:]:
+            out.append(max(b, out[-1]))
+        return out
 
-    v00 = lut[y0g, x0g, pix]
-    v01 = lut[y0g, x1g, pix]
-    v10 = lut[y1g, x0g, pix]
-    v11 = lut[y1g, x1g, pix]
+    yb = band_bounds(ty, th, h)
+    fy = jnp.arange(h, dtype=jnp.float32) / th - 0.5
+    fx = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
+    # Horizontal interpolation weights to each tile column: (W, tx).
+    j_ids = jnp.arange(tx, dtype=jnp.float32)
+    wx_all = jnp.clip(1.0 - jnp.abs(fx[:, None] - j_ids[None, :]), 0.0, 1.0)
+    # Border columns absorb the out-of-range weight (clamped tiles).
+    wx_all = wx_all.at[:, 0].add(jnp.clip(-fx, 0.0, 1.0))
+    wx_all = wx_all.at[:, tx - 1].add(jnp.clip(fx - (tx - 1), 0.0, 1.0))
 
-    top = v00 * (1.0 - wx) + v01 * wx
-    bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+    lut_rows = lut.reshape(ty, tx, 256)
+
+    out_bands = []
+    for bi in range(len(yb) - 1):
+        ys0, ys1 = yb[bi], yb[bi + 1]
+        if ys0 >= ys1:
+            continue
+        i0 = 0 if bi == 0 else min(bi - 1, ty - 1)
+        i1 = min(i0 + 1, ty - 1) if bi > 0 else 0
+        band = pix[ys0:ys1]  # (bh, W)
+        onehot = (band[:, :, None] == bins).astype(jnp.bfloat16)  # (bh, W, 256)
+        lut_pair = jnp.concatenate(
+            [lut_rows[i0], lut_rows[i1]], axis=0
+        ).astype(jnp.bfloat16)  # (2*tx, 256)
+        v = jax.lax.dot_general(
+            onehot.reshape(-1, 256),
+            lut_pair,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ys1 - ys0, w, 2, tx)
+        wy = jnp.clip(fy[ys0:ys1] - i0, 0.0, 1.0) if bi > 0 else jnp.zeros(ys1 - ys0)
+        wy_pair = jnp.stack([1.0 - wy, wy], axis=-1)  # (bh, 2)
+        out_bands.append(jnp.einsum("hwij,hi,wj->hw", v, wy_pair, wx_all))
+    return jnp.concatenate(out_bands, axis=0)
 
 
 def enhance_contrast_bgr(bgr: jax.Array, clip_limit: float = 3.5, tiles: Tuple[int, int] = (8, 8)) -> jax.Array:

@@ -36,6 +36,22 @@ _XYZ2RGB = jnp.array(
 _WHITE = jnp.array([0.950456, 1.0, 1.088754])
 
 
+def _matvec3(m: jax.Array, v: jax.Array) -> jax.Array:
+    """Unrolled 3x3 @ (..., 3). A degenerate-size einsum over a large image
+    array takes the TPU backend minutes to COMPILE (measured 154 s at 1080p
+    x16 vs 0.6 s unrolled, identical runtime) — never hand Mosaic a matmul
+    with a 3-wide contraction."""
+    c0, c1, c2 = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [
+            m[0, 0] * c0 + m[0, 1] * c1 + m[0, 2] * c2,
+            m[1, 0] * c0 + m[1, 1] * c1 + m[1, 2] * c2,
+            m[2, 0] * c0 + m[2, 1] * c1 + m[2, 2] * c2,
+        ],
+        axis=-1,
+    )
+
+
 def bgr_to_grey(bgr: jax.Array) -> jax.Array:
     """BT.601 luma: Y = 0.299 R + 0.587 G + 0.114 B (cv2.COLOR_BGR2GRAY).
 
@@ -75,7 +91,7 @@ def bgr_to_lab(bgr: jax.Array) -> jax.Array:
       L in [0, 255] (L* * 255/100), a/b offset by 128.
     """
     rgb = _srgb_to_linear(bgr.astype(jnp.float32)[..., ::-1] / 255.0)
-    xyz = jnp.einsum("ij,...j->...i", _RGB2XYZ, rgb) / _WHITE
+    xyz = _matvec3(_RGB2XYZ, rgb) / _WHITE
     fx, fy, fz = _f_cbrt(xyz[..., 0]), _f_cbrt(xyz[..., 1]), _f_cbrt(xyz[..., 2])
     l_star = 116.0 * fy - 16.0
     a_star = 500.0 * (fx - fy)
@@ -103,6 +119,6 @@ def lab_to_bgr(lab: jax.Array) -> jax.Array:
         return jnp.where(t > 0.008856, t, (f - 16.0 / 116.0) / 7.787)
 
     xyz = jnp.stack([f_inv(fx), f_inv(fy), f_inv(fz)], axis=-1) * _WHITE
-    rgb = _linear_to_srgb(jnp.einsum("ij,...j->...i", _XYZ2RGB, xyz))
+    rgb = _linear_to_srgb(_matvec3(_XYZ2RGB, xyz))
     bgr = jnp.clip(rgb[..., ::-1] * 255.0, 0.0, 255.0)
     return bgr

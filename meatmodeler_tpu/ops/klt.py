@@ -50,28 +50,33 @@ def build_pyramid(img: jax.Array, levels: int) -> List[jax.Array]:
 
 
 def _bilinear_window(img: jax.Array, center: jax.Array, win: int) -> jax.Array:
-    """Sample a (win x win) patch around float `center` (x, y), bilinear."""
+    """Sample a (win x win) patch around float `center` (x, y), bilinear.
+
+    One ``dynamic_slice`` of (win+1, win+1) plus four static shifted views —
+    under ``vmap`` this lowers to a contiguous block gather, orders of
+    magnitude cheaper on TPU than the per-element advanced-indexing gather
+    (529 scattered loads per window) it replaces.
+    """
     half = (win - 1) / 2.0
-    dy = jnp.arange(win, dtype=img.dtype) - half
-    dx = jnp.arange(win, dtype=img.dtype) - half
-    ys = center[1] + dy[:, None]
-    xs = center[0] + dx[None, :]
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = ys - y0
-    wx = xs - x0
+    # Edge-pad so border windows sample replicate-padded pixels instead of a
+    # silently shifted window (which sends the LK iteration divergent at
+    # coarse pyramid levels where win ~ image size). The pad is
+    # batch-invariant, so XLA hoists it out of the per-point vmap.
+    pad = win + 1
+    img = jnp.pad(img, pad, mode="edge")
     h, w = img.shape
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
-    v00 = img[y0i, x0i]
-    v01 = img[y0i, x0i + 1]
-    v10 = img[y0i + 1, x0i]
-    v11 = img[y0i + 1, x0i + 1]
+    tl = center - half + pad  # float top-left corner (x, y) in padded coords
+    t0 = jnp.floor(tl)
+    fx = tl[0] - t0[0]
+    fy = tl[1] - t0[1]
+    x0 = jnp.clip(t0[0].astype(jnp.int32), 0, w - win - 1)
+    y0 = jnp.clip(t0[1].astype(jnp.int32), 0, h - win - 1)
+    big = jax.lax.dynamic_slice(img, (y0, x0), (win + 1, win + 1))
     return (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
-        + v11 * wy * wx
+        big[:-1, :-1] * (1 - fy) * (1 - fx)
+        + big[:-1, 1:] * (1 - fy) * fx
+        + big[1:, :-1] * fy * (1 - fx)
+        + big[1:, 1:] * fy * fx
     )
 
 

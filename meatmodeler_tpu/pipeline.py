@@ -34,6 +34,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the axon/Mosaic backend takes minutes to
+# compile the gather-heavy kernels (ORB ~8 min cold); caching makes every
+# run after the first start warm.
+try:  # pragma: no cover - trivially environment-dependent
+    import os as _os
+
+    _cache_dir = _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax")
+    jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from meatmodeler_tpu import tracks as tracks_mod
 from meatmodeler_tpu import volume as volume_mod
 from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig
@@ -134,16 +146,25 @@ def _make_keyframe_scan(config: PipelineConfig):
 
             is_kf = acc > kf.threshold * width
 
-            # On keyframe: reset error, re-seed features (processor.py:100-106).
-            seeded_pts, seeded_mask = seed_points(grey)
-            new_pts = jnp.where(is_kf, seeded_pts, flow.points)
-            new_mask = jnp.where(is_kf, seeded_mask, mask & flow.status)
+            # On keyframe: reset error. Deviation from the reference
+            # (processor.py:104-106 reseeds immediately): detection is NOT
+            # inside the scan — keyframes are rare and running Shi-Tomasi
+            # every frame would dominate the hot loop. Tracking continues on
+            # the existing (still valid) features; the host reseeds at the
+            # next chunk boundary (see `process`).
+            new_mask = mask & flow.status
             acc = jnp.where(is_kf, 0.0, acc)
-            return (cur_pyr, new_pts, new_mask, acc), is_kf
+            return (cur_pyr, flow.points, new_mask, acc), is_kf
 
         return jax.lax.scan(step, carry, greys)
 
-    return init_carry, scan_chunk
+    @jax.jit
+    def reseed(carry, grey):
+        pyr, _, _, acc = carry
+        pts, mask = seed_points(grey)
+        return (pyr, pts, mask, acc)
+
+    return init_carry, scan_chunk, reseed
 
 
 @jax.jit
@@ -189,7 +210,7 @@ def process(
     n_corners = pattern[0] * pattern[1]
 
     source = video_mod.FrameSource(video)
-    init_carry, scan_chunk = _make_keyframe_scan(config)
+    init_carry, scan_chunk, reseed = _make_keyframe_scan(config)
 
     # ---- PASS 1: stream chunks, select keyframes ----
     with metrics.stage("pass1_keyframes"):
@@ -238,6 +259,11 @@ def process(
                 greys_padded = greys
             carry, flags = scan_chunk(carry, jnp.asarray(greys_padded))
             flags = np.asarray(flags)[:real_len]
+            if flags.any():
+                # A keyframe fired in this chunk: re-seed the tracked points
+                # from the chunk's final frame (amortized replacement for the
+                # reference's immediate in-loop reseed, processor.py:104-106).
+                carry = reseed(carry, jnp.asarray(greys_padded[real_len - 1]))
             for i in np.nonzero(flags)[0]:
                 g = greys[i]
                 c = (

@@ -32,19 +32,47 @@ import numpy as np
 __all__ = ["split_item_points", "convex_hull_volume", "carved_volume"]
 
 
-def split_item_points(points: jax.Array, mask: jax.Array, plane_margin: float = 0.3):
-    """Mask of points belonging to the item: above the board plane (y < -margin)
-    and not wild outliers (median-distance gate)."""
+def split_item_points(
+    points: jax.Array,
+    mask: jax.Array,
+    plane_margin: float = 0.3,
+    knn: int = 6,
+):
+    """Mask of points belonging to the item: above the board plane
+    (y < -margin), densely clustered, and not part of a far tail.
+
+    The hull volume is set entirely by extreme points, so sparse
+    mis-triangulated outliers inflate it cubically. Two robust gates:
+
+      1. k-NN density: an item point sits in a cluster, so its k-th nearest
+         neighbour is close; an isolated outlier's is not. (One (P, P)
+         distance matrix — an MXU matmul at these sizes.)
+      2. median +- MAD on distance-to-centroid, which unlike quantiles does
+         not move into a fat tail.
+    """
     above = points[:, 1] < -plane_margin
     keep = mask & above
+    n_keep = jnp.maximum(jnp.sum(keep), 1)
+
+    # --- k-NN density gate ---
+    big = jnp.float32(1e9)
+    sq = jnp.sum(points * points, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (points @ points.T)
+    d2 = jnp.where(keep[None, :], d2, big)  # only candidate neighbours count
+    d2 = d2 + jnp.where(jnp.eye(points.shape[0], dtype=bool), big, 0.0)
+    k_eff = knn
+    neg_topk, _ = jax.lax.top_k(-d2, k_eff)  # k smallest distances
+    dk = jnp.sqrt(jnp.maximum(-neg_topk[:, -1], 0.0))  # k-th NN distance
+    dk_kept = jnp.where(keep, dk, jnp.nan)
+    dk_med = jnp.nan_to_num(jnp.nanmedian(dk_kept), nan=1.0)
+    keep = keep & (dk <= 3.0 * dk_med)
+
+    # --- centroid-distance MAD gate ---
     center = jnp.sum(jnp.where(keep[:, None], points, 0.0), axis=0) / jnp.maximum(
         jnp.sum(keep), 1
     )
     d = jnp.linalg.norm(points - center, axis=1)
     d_kept = jnp.where(keep, d, jnp.nan)
-    # Robust trim: the hull volume is set entirely by extreme points, so a
-    # sparse mis-triangulated tail inflates it cubically; quantiles land
-    # inside the tail when it is fat, but median +- MAD does not.
     med = jnp.nan_to_num(jnp.nanmedian(d_kept), nan=1.0)
     mad = jnp.nan_to_num(jnp.nanmedian(jnp.abs(d_kept - med)), nan=0.5)
     return keep & (d <= med + 4.0 * mad)
