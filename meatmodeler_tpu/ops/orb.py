@@ -120,34 +120,81 @@ def _orientation(img: jax.Array, xy: jax.Array, mask: jax.Array) -> jax.Array:
     return jax.vmap(one)(xy, mask)
 
 
+# Steered BRIEF as matmuls: the angle is quantized to 30 bins (ORB uses 12
+# degree bins) and each bin's 512 bilinear sampling taps over a DPATCH x
+# DPATCH patch are baked into a dense weight matrix. Descriptor sampling for
+# ALL keypoints is then one (30*512, DPATCH^2) x (DPATCH^2, N) MXU matmul +
+# a per-keypoint bin selection — zero scattered gathers (which cost minutes
+# of compile time and dominate runtime on the TPU backend).
+_NBINS = 30
+_DPATCH = 41  # covers the +-13 pattern offsets under any rotation (+1 bilinear)
+_DHALF = _DPATCH // 2
+
+
+def _make_bin_weights() -> np.ndarray:
+    """(NBINS * 512, DPATCH^2) float32 bilinear sampling weights.
+
+    Row layout: bin-major; within a bin, rows 0..255 are pair endpoint A,
+    rows 256..511 endpoint B.
+    """
+    pat = _make_brief_pattern()  # (256, 2, (dy, dx))
+    w = np.zeros((_NBINS, 512, _DPATCH * _DPATCH), np.float32)
+    for b in range(_NBINS):
+        ang = 2.0 * np.pi * b / _NBINS
+        c, s = np.cos(ang), np.sin(ang)
+        dy = pat[..., 0]  # (256, 2)
+        dx = pat[..., 1]
+        rx = c * dx - s * dy + _DHALF
+        ry = s * dx + c * dy + _DHALF
+        x0 = np.clip(np.floor(rx).astype(int), 0, _DPATCH - 2)
+        y0 = np.clip(np.floor(ry).astype(int), 0, _DPATCH - 2)
+        fx = rx - x0
+        fy = ry - y0
+        for e in range(2):  # endpoint
+            rows = np.arange(256) + 256 * e
+            flat00 = y0[:, e] * _DPATCH + x0[:, e]
+            w[b, rows, flat00] += (1 - fy[:, e]) * (1 - fx[:, e])
+            w[b, rows, flat00 + 1] += (1 - fy[:, e]) * fx[:, e]
+            w[b, rows, flat00 + _DPATCH] += fy[:, e] * (1 - fx[:, e])
+            w[b, rows, flat00 + _DPATCH + 1] += fy[:, e] * fx[:, e]
+    return w.reshape(_NBINS * 512, _DPATCH * _DPATCH)
+
+
+_BIN_WEIGHTS = jnp.asarray(_make_bin_weights(), jnp.bfloat16)
+
+
 def _describe(blurred: jax.Array, xy: jax.Array, angle: jax.Array, mask: jax.Array) -> jax.Array:
-    """Steered BRIEF bits: rotate the pattern by angle, bilinear sample, compare."""
+    """Steered BRIEF bits via the binned sampling matmul."""
+    n = xy.shape[0]
+    padded = jnp.pad(blurred, _DHALF + 1, mode="edge")
     h, w = blurred.shape
-    pattern = _BRIEF_PATTERN.astype(blurred.dtype)  # (256, 2, (dy, dx))
 
-    def one(pt, ang, valid):
-        c, s = jnp.cos(ang), jnp.sin(ang)
-        dy = pattern[..., 0]
-        dx = pattern[..., 1]
-        # Rotate offsets by the keypoint angle (steered BRIEF).
-        rx = c * dx - s * dy
-        ry = s * dx + c * dy
-        xs = jnp.clip(pt[0] + rx, 0.0, w - 2.0)
-        ys = jnp.clip(pt[1] + ry, 0.0, h - 2.0)
-        x0 = jnp.floor(xs).astype(jnp.int32)
-        y0 = jnp.floor(ys).astype(jnp.int32)
-        wx = xs - x0
-        wy = ys - y0
-        v = (
-            blurred[y0, x0] * (1 - wy) * (1 - wx)
-            + blurred[y0, x0 + 1] * (1 - wy) * wx
-            + blurred[y0 + 1, x0] * wy * (1 - wx)
-            + blurred[y0 + 1, x0 + 1] * wy * wx
-        )  # (256, 2)
-        bits = (v[:, 0] < v[:, 1]).astype(jnp.int8)
-        return jnp.where(valid, bits, jnp.zeros(_NBITS, jnp.int8))
+    def patch(pt):
+        x0 = jnp.clip(pt[0].astype(jnp.int32), 0, w - 1) + 1  # +pad offset - half
+        y0 = jnp.clip(pt[1].astype(jnp.int32), 0, h - 1) + 1
+        return jax.lax.dynamic_slice(padded, (y0, x0), (_DPATCH, _DPATCH))
 
-    return jax.vmap(one)(xy, angle, mask)
+    patches = jax.vmap(patch)(xy).reshape(n, _DPATCH * _DPATCH)  # (N, P2)
+
+    # (30*512, P2) @ (P2, N) -> (30*512, N): one MXU matmul for everything.
+    sampled = jax.lax.dot_general(
+        _BIN_WEIGHTS.astype(jnp.bfloat16),
+        patches.astype(jnp.bfloat16).T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(_NBINS, 512, n)
+
+    # Per-keypoint bin selection (angle quantized like ORB's 12-degree bins).
+    # Unrolled masked sum — a 30-wide einsum contraction is the degenerate-
+    # matmul shape that costs Mosaic minutes of compile time.
+    bin_idx = jnp.round(angle / (2.0 * jnp.pi / _NBINS)).astype(jnp.int32) % _NBINS
+    vals = sum(
+        sampled[b] * (bin_idx == b).astype(jnp.float32)[None, :]
+        for b in range(_NBINS)
+    ).T  # (N, 512)
+
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.int8)
+    return jnp.where(mask[:, None], bits, jnp.zeros((n, _NBITS), jnp.int8))
 
 
 def _gauss7(img: jax.Array) -> jax.Array:

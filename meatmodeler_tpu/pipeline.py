@@ -40,9 +40,10 @@ import numpy as np
 try:  # pragma: no cover - trivially environment-dependent
     import os as _os
 
-    _cache_dir = _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax")
-    jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() not in ("cpu",):
+        _cache_dir = _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax")
+        jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
 
@@ -172,6 +173,143 @@ def _enhanced_grey_batch(bgr_chunk):
     return clahe.enhanced_grey(bgr_chunk)
 
 
+@jax.jit
+def _downsample_u8(grey):
+    """Half-res uint8 view for host board detection: device->host transfers
+    through the remote-TPU tunnel run at ~0.01 GB/s (measured), so the host
+    only ever receives 1/16th of the pixel bytes; sub-pixel corner
+    refinement happens back on device at full resolution."""
+    return jnp.clip(grey[..., ::2, ::2], 0, 255).astype(jnp.uint8)
+
+
+def _board_fit_residual(corners: np.ndarray, pattern) -> float:
+    """Max residual (px) of a planar-homography fit of the board grid.
+
+    A genuine chessboard is exactly planar, so correctly detected corners fit
+    a homography to sub-pixel residual; a mis-detection (a corner snapped to
+    a neighboring saddle — the half-res detector's failure mode on oblique
+    views) shows up as a multi-pixel outlier.
+    """
+    cols, rows = pattern
+    gx, gy = np.meshgrid(np.arange(cols, dtype=np.float64), np.arange(rows, dtype=np.float64))
+    obj = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    img = np.asarray(corners, np.float64)
+    n = len(obj)
+    a = np.zeros((2 * n, 9))
+    a[0::2, 0:2] = obj
+    a[0::2, 2] = 1.0
+    a[0::2, 6:8] = -obj * img[:, :1]
+    a[0::2, 8] = -img[:, 0]
+    a[1::2, 3:5] = obj
+    a[1::2, 5] = 1.0
+    a[1::2, 6:8] = -obj * img[:, 1:2]
+    a[1::2, 8] = -img[:, 1]
+    h = np.linalg.svd(a)[2][-1].reshape(3, 3)
+    den = obj @ h[2, :2] + h[2, 2]
+    proj = (obj @ h[:2, :2].T + h[:2, 2]) / den[:, None]
+    return float(np.abs(proj - img).max())
+
+
+def _detect_board_host(grey_dev, pattern):
+    """Detect the chessboard, minimizing device->host pixel traffic.
+
+    Large frames first try a half-res host copy (the remote-TPU tunnel runs
+    at ~0.01 GB/s, so this cuts transfer bytes 4x); the result is validated
+    with a planar-homography fit and falls back to full resolution when the
+    coarse detection snapped a corner to the wrong saddle. Sub-pixel
+    refinement happens later on device at full resolution either way.
+    """
+    h, w = grey_dev.shape
+    if min(h, w) >= 512:
+        small = np.asarray(_downsample_u8(grey_dev))
+        c = chessboard.find_chessboard(small, pattern)
+        if c is not None:
+            c = chessboard.canonicalize_corners(np.asarray(c, np.float32) * 2.0, pattern)
+            if _board_fit_residual(c, pattern) < 3.0:
+                return c
+    full = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
+    c = chessboard.find_chessboard(full, pattern)
+    if c is None:
+        return None
+    c = chessboard.canonicalize_corners(np.asarray(c, np.float32), pattern)
+    # Same physical gate at full res: reject non-planar "boards" (spurious
+    # grids in texture) instead of letting them corrupt calibration.
+    if _board_fit_residual(c, pattern) > 6.0:
+        return None
+    return c
+
+
+def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_chunk, reseed):
+    """PASS 1 driver: stream chunks, run the keyframe scan, detect boards.
+
+    Returns (kf_greys, kf_corners, frames_total).
+    """
+    source = video_mod.FrameSource(video)
+    with metrics.stage("pass1_keyframes"):
+        carry = None
+        frame_idx = 0
+        kf_greys = []  # DEVICE-resident keyframe greys (float32)
+        kf_corners = []  # detected board corners per accepted keyframe
+
+        def detect(grey_dev, global_idx):
+            if known_corners is not None:
+                return chessboard.canonicalize_corners(
+                    np.asarray(known_corners[global_idx], np.float32), pattern
+                )
+            return _detect_board_host(grey_dev, pattern)
+
+        for chunk in source.chunks(config.frame_chunk):
+            # Pad ragged chunks up front so every device op sees one shape.
+            real_len = len(chunk)
+            if real_len < config.frame_chunk:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], config.frame_chunk - real_len, axis=0)]
+                )
+            greys = _enhanced_grey_batch(jnp.asarray(chunk))  # stays on device
+
+            offset = 0
+            if carry is None:
+                # Discard leading frames until the chessboard is visible
+                # (processor.py:315-319) — but without crashing on
+                # board-free videos (the reference loops forever, SURVEY §5.3).
+                start = None
+                for i in range(real_len):
+                    c = detect(greys[i], frame_idx + i)
+                    if c is not None:
+                        start = i
+                        kf_greys.append(greys[i])
+                        kf_corners.append(c)
+                        break
+                if start is None:
+                    frame_idx += real_len
+                    continue
+                carry = init_carry(greys[start])
+                frame_idx += start + 1
+                offset = start + 1
+                if offset >= real_len:
+                    continue
+
+            carry, flags = scan_chunk(carry, greys)
+            flags = np.array(flags)[:real_len]
+            # Frames before the scan start (pre-board) must not fire.
+            flags[:offset] = False
+            if flags.any():
+                # A keyframe fired in this chunk: re-seed the tracked points
+                # from the chunk's final frame (amortized replacement for the
+                # reference's immediate in-loop reseed, processor.py:104-106).
+                carry = reseed(carry, greys[real_len - 1])
+            for i in np.nonzero(flags)[0]:
+                c = detect(greys[i], frame_idx + int(i) - offset)
+                if c is not None:  # boardless keyframes dropped (processor.py:369-371)
+                    kf_greys.append(greys[i])
+                    kf_corners.append(c)
+            frame_idx += real_len - offset
+
+        metrics.count("frames_total", frame_idx)
+        metrics.count("keyframes", len(kf_greys))
+    return kf_greys, kf_corners, frame_idx
+
+
 # --------------------------------------------------------------------------
 # main entry point
 # --------------------------------------------------------------------------
@@ -185,6 +323,7 @@ def process(
     flann_params: Optional[dict] = None,
     config: PipelineConfig = DEFAULT_CONFIG,
     known_corners: Optional[np.ndarray] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> ProcessResult:
     """Video -> bundle-adjusted point cloud + volume (+ ``<path>Cloud.ply``).
 
@@ -198,88 +337,48 @@ def process(
       config: the full config tree.
       known_corners: optional (T, N, 2) ground-truth board corners per frame
         (synthetic benchmarks; skips host detection).
+      checkpoint_dir: if set, per-stage artifacts persist there and a re-run
+        resumes after the last completed stage (SURVEY.md §5.4 — the
+        reference has no checkpointing of any kind).
 
     Returns:
       ProcessResult — including the point cloud the reference promised but
       never returned (``processor.py:303``).
     """
+    from meatmodeler_tpu.utils.checkpoint import StageCheckpointer
+
     del flann_params  # exact MXU matching needs no FLANN tuning
     config = _config_from_param_dicts(config, lk_params, feature_params)
     metrics = Metrics()
     pattern = config.chessboard.pattern
     n_corners = pattern[0] * pattern[1]
+    ckpt = StageCheckpointer(checkpoint_dir)
 
-    source = video_mod.FrameSource(video)
     init_carry, scan_chunk, reseed = _make_keyframe_scan(config)
 
     # ---- PASS 1: stream chunks, select keyframes ----
-    with metrics.stage("pass1_keyframes"):
-        carry = None
-        frame_idx = 0
-        kf_greys = []  # uint8 host copies of accepted keyframe greys
-        kf_corners = []  # detected board corners per accepted keyframe
-        pending: list[tuple[np.ndarray, Optional[int]]] = []  # candidate kf greys
-
-        for chunk in source.chunks(config.frame_chunk):
-            greys = np.asarray(_enhanced_grey_batch(jnp.asarray(chunk)))
-            if carry is None:
-                # Discard leading frames until the chessboard is visible
-                # (processor.py:315-319) — but without crashing on
-                # board-free videos (the reference loops forever, SURVEY §5.3).
-                start = None
-                for i, g in enumerate(greys):
-                    c = (
-                        known_corners[frame_idx + i]
-                        if known_corners is not None
-                        else chessboard.find_chessboard(g, pattern)
-                    )
-                    if c is not None:
-                        start = i
-                        kf_greys.append(g)
-                        kf_corners.append(
-                            chessboard.canonicalize_corners(np.asarray(c, np.float32), pattern)
-                        )
-                        break
-                frame_consumed = len(greys) if start is None else start + 1
-                frame_idx += frame_consumed
-                if start is None:
-                    continue
-                carry = init_carry(jnp.asarray(greys[start]))
-                greys = greys[start + 1 :]
-                if len(greys) == 0:
-                    continue
-
-            # Pad ragged chunks to the compiled chunk shape (the pad frames'
-            # flags are discarded) so the scan compiles once per video shape.
-            real_len = len(greys)
-            if real_len < config.frame_chunk:
-                pad = np.repeat(greys[-1:], config.frame_chunk - real_len, axis=0)
-                greys_padded = np.concatenate([greys, pad])
-            else:
-                greys_padded = greys
-            carry, flags = scan_chunk(carry, jnp.asarray(greys_padded))
-            flags = np.asarray(flags)[:real_len]
-            if flags.any():
-                # A keyframe fired in this chunk: re-seed the tracked points
-                # from the chunk's final frame (amortized replacement for the
-                # reference's immediate in-loop reseed, processor.py:104-106).
-                carry = reseed(carry, jnp.asarray(greys_padded[real_len - 1]))
-            for i in np.nonzero(flags)[0]:
-                g = greys[i]
-                c = (
-                    known_corners[frame_idx + int(i)]
-                    if known_corners is not None
-                    else chessboard.find_chessboard(g, pattern)
-                )
-                if c is not None:  # boardless keyframes dropped (processor.py:369-371)
-                    kf_greys.append(g)
-                    kf_corners.append(
-                        chessboard.canonicalize_corners(np.asarray(c, np.float32), pattern)
-                    )
-            frame_idx += len(greys)
-
+    if ckpt.has("keyframes"):
+        data = ckpt.load("keyframes")
+        kf_greys = list(data["greys"].astype(np.float32))
+        kf_corners = list(data["corners"])
+        frame_idx = int(data["frames_total"])
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes", len(kf_greys))
+    else:
+        kf_greys, kf_corners, frame_idx = _run_pass1(
+            video, config, pattern, known_corners, metrics,
+            init_carry, scan_chunk, reseed,
+        )
+        if kf_greys:
+            ckpt.save(
+                "keyframes",
+                # float32: the CLAHE-enhanced greys are float; any rounding
+                # here would make resumed runs differ from fresh ones
+                # (top-k ties in the detectors flip on 0.1-level changes).
+                greys=np.stack([np.asarray(g) for g in kf_greys]).astype(np.float32),
+                corners=np.stack(kf_corners),
+                frames_total=frame_idx,
+            )
 
     n_kf = len(kf_greys)
     if n_kf < 3:
@@ -288,7 +387,9 @@ def process(
             "(check the video shows the calibration target)"
         )
 
-    kf_stack = jnp.asarray(np.stack(kf_greys), jnp.float32)
+    # Device-side stack: kf_greys holds device arrays from pass 1 (or host
+    # arrays on checkpoint resume); no host round-trip either way.
+    kf_stack = jnp.stack([jnp.asarray(g, jnp.float32) for g in kf_greys])
 
     # ---- PASS 2: batched keyframe processing ----
     with metrics.stage("pass2_orb"):
@@ -444,6 +545,14 @@ def process(
         metrics.count("ba_rmse_px", float(ba_res.rmse))
         metrics.count("ba_iterations", int(ba_res.iterations))
         metrics.count("points", int(len(np.asarray(new_pts))))
+        ckpt.save(
+            "cloud",
+            points=np.asarray(new_pts),
+            extrinsics=np.asarray(new_ext),
+            intrinsics=np.asarray(calib.intrinsics),
+            distortion=np.asarray(calib.dist),
+            rmse=float(ba_res.rmse),
+        )
 
     with metrics.stage("volume"):
         pts_j = jnp.asarray(new_pts)
