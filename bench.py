@@ -60,7 +60,7 @@ def bench_config():
         orb=OrbConfig(num_features=4096, num_levels=4),
         matcher=MatcherConfig(max_matches=2048),
         tracks=TrackConfig(max_tracks=8192, max_keyframes=64),
-        frame_chunk=16,
+        frame_chunk=32,
     )
 
 

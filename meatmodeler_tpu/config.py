@@ -135,6 +135,12 @@ class PipelineConfig:
     # Frames are streamed to device in chunks of this many for the scan-based
     # keyframe pass.
     frame_chunk: int = 32
+    # Pass-1 (keyframe selection) runs on frames downscaled by this integer
+    # factor; 0 = auto (2 when min(H, W) >= 720, else 1). The keyframe
+    # *decision* is scale-invariant (LK error and the threshold's width both
+    # scale linearly), while upload bytes and scan FLOPs drop by scale^2.
+    # Pass 2 always works on full-resolution keyframes.
+    pass1_downscale: int = 0
 
 
 DEFAULT_CONFIG = PipelineConfig()

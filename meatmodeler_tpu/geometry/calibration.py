@@ -260,10 +260,37 @@ def calibrate(
         _, _, _, it, done = state
         return (it < max_iters) & (~done)
 
-    cost0 = 0.5 * jnp.sum(residual(theta0) ** 2)
-    theta, _, cost, _, _ = jax.lax.while_loop(
-        cond, lm_step, (theta0, jnp.array(1e-3, theta0.dtype), cost0, 0, False)
+    def run_lm(t0):
+        cost0 = 0.5 * jnp.sum(residual(t0) ** 2)
+        t_fin, _, cost_fin, _, _ = jax.lax.while_loop(
+            cond, lm_step, (t0, jnp.array(1e-3, t0.dtype), cost0, 0, False)
+        )
+        return t_fin, cost_fin
+
+    theta, cost = run_lm(theta0)
+
+    # Second pass: rescue OUTLIER frames only. A view whose homography pose
+    # init landed in the wrong basin of the planar two-fold ambiguity stays
+    # stuck (its 2N residuals are a small share of the joint cost), drags the
+    # focal away, and poisons the whole calibration. Re-initializing only the
+    # high-error frames with two-candidate planar PnP under the current
+    # intrinsics (good frames keep their converged poses) puts every frame in
+    # the right basin for the re-run.
+    from meatmodeler_tpu.geometry import pnp
+
+    intr1, dist1, poses1 = unpack(theta)
+    und = distortion_mod.undistort_pixels(img_points, intr1, dist1)
+    res1 = residual(theta).reshape(f, n, 2)
+    frame_err = jnp.sqrt(jnp.sum(res1**2, axis=-1)).mean(axis=1)  # (F,)
+    bad_frame = frame_err > 3.0 * jnp.median(frame_err) + 0.5
+    poses_pnp = pnp.solve_pnp_batch(plane, (0, 1), obj_points, und, intr1)
+    poses_mix = jnp.where(bad_frame[:, None], poses_pnp, poses1)
+    theta2, cost2 = run_lm(
+        jnp.concatenate([theta[:n_intr], poses_mix.reshape(-1)])
     )
+    better = cost2 < cost
+    theta = jnp.where(better, theta2, theta)
+    cost = jnp.where(better, cost2, cost)
 
     intr, dist, poses = unpack(theta)
     rms = jnp.sqrt(2.0 * cost / (f * n))

@@ -70,19 +70,33 @@ def solve_pnp_planar(
     tvec = m[:, 2]
 
     a, b = obj_cols
-    cols = [None, None, None]
-    cols[a] = r_a
-    cols[b] = r_b
     c = 3 - a - b  # the remaining axis index
     # Right-handed completion: r_c = r_a x r_b gives det +1 ordering for the
     # cyclic cases; the parity of (a, b, c) decides the sign.
     perm_sign = 1.0 if (a, b, c) in ((0, 1, 2), (1, 2, 0), (2, 0, 1)) else -1.0
-    cols[c] = perm_sign * jnp.cross(r_a, r_b)
-    rot = _orthonormalize(jnp.stack(cols, axis=1))
 
     from meatmodeler_tpu.geometry import so3
 
-    return jnp.concatenate([so3.log(rot), tvec])
+    def complete(ra, rb):
+        cols = [None, None, None]
+        cols[a] = ra
+        cols[b] = rb
+        cols[c] = perm_sign * jnp.cross(ra, rb)
+        return _orthonormalize(jnp.stack(cols, axis=1))
+
+    rot = complete(r_a, r_b)
+    # Planar pose is two-fold ambiguous (Schweighofer-Pinz): the twin tilts
+    # the board the other way — mirror the in-plane basis vectors through
+    # the camera's z = const plane. Noisy/oblique views make the homography
+    # decomposition land on the WRONG one, and reprojection Gauss-Newton
+    # cannot cross between the two basins; callers refine both and keep the
+    # lower-error pose.
+    flip = jnp.array([1.0, 1.0, -1.0], m.dtype)
+    rot2 = complete(r_a * flip, r_b * flip)
+    return (
+        jnp.concatenate([so3.log(rot), tvec]),
+        jnp.concatenate([so3.log(rot2), tvec]),
+    )
 
 
 def refine_pose(
@@ -137,7 +151,14 @@ def solve_pnp_batch(
     """
 
     def one(img):
-        init = solve_pnp_planar(plane_uv, obj_cols, img, intrinsics)
-        return refine_pose(init, obj_pts, img, intrinsics, iters=iters)
+        init_a, init_b = solve_pnp_planar(plane_uv, obj_cols, img, intrinsics)
+        pose_a = refine_pose(init_a, obj_pts, img, intrinsics, iters=iters)
+        pose_b = refine_pose(init_b, obj_pts, img, intrinsics, iters=iters)
+
+        def cost(p):
+            proj = projection.project_points(obj_pts, p[None, :], intrinsics)
+            return jnp.sum((proj - img) ** 2)
+
+        return jnp.where(cost(pose_a) <= cost(pose_b), pose_a, pose_b)
 
     return jax.vmap(one)(img_pts)

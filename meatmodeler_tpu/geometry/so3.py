@@ -92,7 +92,6 @@ def log(rot: jax.Array) -> jax.Array:
     rot = jnp.asarray(rot)
     trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
 
     # Vector from the skew-symmetric part: (R - R^T)^vee / 2 = sin(th) * axis.
     skew = jnp.stack(
@@ -103,9 +102,18 @@ def log(rot: jax.Array) -> jax.Array:
         ],
         axis=-1,
     ) * 0.5
+    # atan2 angle: arccos of the trace loses precision catastrophically as
+    # th -> pi (d arccos blows up), while atan2(|sin|, cos) stays exact.
+    sin_norm = jnp.linalg.norm(skew, axis=-1)
+    theta = jnp.arctan2(sin_norm, cos_theta)
 
     small = theta < _SMALL_ANGLE
-    near_pi = theta > jnp.pi - 1e-4
+    # The diagonal-based axis extraction below is exact for ALL theta (the
+    # diag of R is cos + (1-cos) a_i^2 with no sin term), so switch to it
+    # well before sin(th) gets small: the generic skew formula amplifies
+    # float32 matrix noise by th/sin(th) (~250x at th = pi - 0.013 — tens of
+    # pixels of pose error downstream).
+    near_pi = theta > 2.0
 
     # Generic branch: rvec = th / sin(th) * skew_vee.
     sin_theta = jnp.sin(jnp.where(small | near_pi, 1.0, theta))

@@ -48,6 +48,11 @@ class FrameSource:
     def _normalize(arr: np.ndarray) -> np.ndarray:
         if arr.ndim == 3:  # grey -> BGR
             arr = np.repeat(arr[..., None], 3, axis=-1)
+        if arr.dtype == np.uint8:
+            # No up-front copy: uint8 sources (including np.load mmaps) are
+            # consumed chunk-by-chunk, so a whole-video astype/contiguous
+            # copy here would cost seconds of host time for nothing.
+            return arr
         return np.ascontiguousarray(arr.astype(np.uint8))
 
     def chunks(self, chunk_size: int) -> Iterator[np.ndarray]:

@@ -25,7 +25,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["find_chessboard", "canonicalize_corners", "refine_corners_subpix"]
+__all__ = [
+    "find_chessboard",
+    "canonicalize_corners",
+    "orient_corners_to",
+    "refine_corners_subpix",
+]
+
+
+def orient_corners_to(corners: np.ndarray, prev: Optional[np.ndarray]) -> np.ndarray:
+    """Resolve the board's 180-degree ambiguity consistently across frames.
+
+    A plain chessboard maps onto itself under a 180-degree rotation, so
+    detectors may return the grid traversed from either end — and they DO
+    flip between frames (the classic detector especially). A flip changes
+    the 2D-3D correspondence and silently wrecks pose estimation, while
+    staying perfectly planar (invisible to the homography gate). Anchor each
+    detection to the previous keyframe's corners: the board moves by a few
+    pixels between keyframes, so the correct orientation is the one whose
+    endpoints stay near the previous endpoints. The first frame's choice is
+    arbitrary — a global 180-degree rotation of the world frame is rigid.
+    """
+    c = np.asarray(corners, np.float32)
+    if prev is None:
+        return c
+    keep = np.linalg.norm(c[0] - prev[0]) + np.linalg.norm(c[-1] - prev[-1])
+    flip = np.linalg.norm(c[0] - prev[-1]) + np.linalg.norm(c[-1] - prev[0])
+    if flip < keep:
+        # 180-degree grid rotation = full reversal in flat row-major order
+        # (reverses rows and columns together, preserving the winding).
+        return np.ascontiguousarray(c[::-1])
+    return c
 
 
 def canonicalize_corners(corners: np.ndarray, pattern: Tuple[int, int]) -> np.ndarray:
@@ -66,9 +96,13 @@ def find_chessboard(grey: np.ndarray, pattern: Tuple[int, int]) -> Optional[np.n
         return None
 
     img = np.ascontiguousarray(np.clip(np.asarray(grey), 0, 255).astype(np.uint8))
-    ok, corners = cv2.findChessboardCornersSB(img, pattern)
+    # Classic detector first: it is ~10x faster than findChessboardCornersSB
+    # and its lower corner precision is irrelevant here — callers refine to
+    # sub-pixel on device afterwards (refine_corners_subpix) and validate
+    # the grid against a planar homography fit. SB is the robust fallback.
+    ok, corners = cv2.findChessboardCorners(img, pattern)
     if not ok:
-        ok, corners = cv2.findChessboardCorners(img, pattern)
+        ok, corners = cv2.findChessboardCornersSB(img, pattern)
     if not ok:
         return None
     return corners.reshape(-1, 2).astype(np.float32)

@@ -138,6 +138,7 @@ def lucas_kanade(
     max_iters: int = 30,
     eps: float = 0.01,
     point_mask: jax.Array | None = None,
+    initial_flow: jax.Array | None = None,
 ) -> FlowResult:
     """Track `points` from the previous to the current frame.
 
@@ -149,6 +150,9 @@ def lucas_kanade(
       levels: pyramid levels to use (<= len(pyr)).
       max_iters / eps: termination criteria (cv2 defaults 30, 0.01).
       point_mask: (N,) bool — padding entries skip work via masking.
+      initial_flow: optional (N, 2) full-resolution displacement guess (the
+        OPTFLOW_USE_INITIAL_FLOW mode) — e.g. descriptor-match offsets that
+        LK then polishes to sub-pixel.
 
     Returns:
       FlowResult(points (N, 2), status (N,), error (N,)).
@@ -161,9 +165,12 @@ def lucas_kanade(
 
     levels = min(levels, len(prev_pyr))
     scale = 2.0 ** (levels - 1)
+    if initial_flow is None:
+        initial_flow = jnp.zeros_like(points)
+    initial_flow = initial_flow.astype(points.dtype)
 
-    def track_one(pt, valid):
-        d = jnp.zeros(2, points.dtype)
+    def track_one(pt, d0, valid):
+        d = d0 / scale
         ok_all = valid
         min_eig = jnp.array(jnp.inf, points.dtype)
         for lvl in range(levels - 1, -1, -1):
@@ -188,5 +195,5 @@ def lucas_kanade(
         err = jnp.mean(jnp.abs(tmpl - curr))
         return new_pt, ok_all & in_bounds, err
 
-    new_pts, status, err = jax.vmap(track_one)(points, point_mask)
+    new_pts, status, err = jax.vmap(track_one)(points, initial_flow, point_mask)
     return FlowResult(new_pts, status, jnp.where(status, err, jnp.nan))

@@ -28,6 +28,7 @@ fixing the reference's broken promise of a return value
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -56,6 +57,7 @@ from meatmodeler_tpu.io import video as video_mod
 from meatmodeler_tpu.ops import chessboard, clahe, features, klt, matching, orb
 from meatmodeler_tpu.solvers import bundle_adjust
 from meatmodeler_tpu.utils import Metrics
+from meatmodeler_tpu.utils.profiling import logger
 
 __all__ = ["ProcessResult", "process"]
 
@@ -101,8 +103,13 @@ def _config_from_param_dicts(config, lk_params, feature_params):
 # --------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=8)
 def _make_keyframe_scan(config: PipelineConfig):
-    """Build the jitted (greys_chunk, carry) -> (carry, is_kf flags) scan."""
+    """Build the jitted (greys_chunk, carry) -> (carry, is_kf flags) scan.
+
+    Cached per config: ``process()`` may be called many times and a fresh
+    ``jax.jit`` wrapper per call would re-trace the whole scan every run.
+    """
     kf = config.keyframe
 
     def seed_points(grey):
@@ -121,9 +128,13 @@ def _make_keyframe_scan(config: PipelineConfig):
         pts, mask = seed_points(grey)
         return (pyr, pts, mask, jnp.float32(0.0))
 
-    @jax.jit
-    def scan_chunk(carry, greys):
-        width = greys.shape[2]
+    @functools.partial(jax.jit, static_argnames=("width_scale",))
+    def scan_chunk(carry, greys, width_scale=1):
+        # The keyframe rule compares an *intensity* residual (resolution-
+        # independent) against threshold * width (processor.py:100). When
+        # pass 1 runs on downscaled frames, the threshold must use the
+        # FULL-resolution width or keyframes fire ~scale-times too often.
+        width = greys.shape[2] * width_scale
 
         def step(carry, grey):
             prev_pyr, pts, mask, acc = carry
@@ -147,25 +158,25 @@ def _make_keyframe_scan(config: PipelineConfig):
 
             is_kf = acc > kf.threshold * width
 
-            # On keyframe: reset error. Deviation from the reference
-            # (processor.py:104-106 reseeds immediately): detection is NOT
-            # inside the scan — keyframes are rare and running Shi-Tomasi
-            # every frame would dominate the hot loop. Tracking continues on
-            # the existing (still valid) features; the host reseeds at the
-            # next chunk boundary (see `process`).
+            # On keyframe: reset error and reseed with Shi-Tomasi exactly at
+            # the keyframe, matching the reference (processor.py:104-106).
+            # The cond executes its taken branch only, so the detector runs
+            # on the handful of keyframe frames, not all of them — and the
+            # scan stays free of host feedback, letting the driver pipeline
+            # chunk uploads against device compute.
             new_mask = mask & flow.status
+            pts2, mask2 = jax.lax.cond(
+                is_kf,
+                lambda g: seed_points(g),
+                lambda g: (flow.points, new_mask),
+                grey,
+            )
             acc = jnp.where(is_kf, 0.0, acc)
-            return (cur_pyr, flow.points, new_mask, acc), is_kf
+            return (cur_pyr, pts2, mask2, acc), is_kf
 
         return jax.lax.scan(step, carry, greys)
 
-    @jax.jit
-    def reseed(carry, grey):
-        pyr, _, _, acc = carry
-        pts, mask = seed_points(grey)
-        return (pyr, pts, mask, acc)
-
-    return init_carry, scan_chunk, reseed
+    return init_carry, scan_chunk
 
 
 @jax.jit
@@ -173,13 +184,26 @@ def _enhanced_grey_batch(bgr_chunk):
     return clahe.enhanced_grey(bgr_chunk)
 
 
-@jax.jit
-def _downsample_u8(grey):
-    """Half-res uint8 view for host board detection: device->host transfers
-    through the remote-TPU tunnel run at ~0.01 GB/s (measured), so the host
-    only ever receives 1/16th of the pixel bytes; sub-pixel corner
-    refinement happens back on device at full resolution."""
-    return jnp.clip(grey[..., ::2, ::2], 0, 255).astype(jnp.uint8)
+_ORB_MINIBATCH = 4
+
+
+@functools.lru_cache(maxsize=8)
+def _make_orb_minibatch(orb_cfg):
+    """One jitted ORB program over a fixed (_ORB_MINIBATCH, H, W) stack."""
+
+    @jax.jit
+    def run(stack):
+        return jax.vmap(
+            lambda g: orb.detect_and_compute(
+                g,
+                max_features=orb_cfg.num_features,
+                num_levels=orb_cfg.num_levels,
+                scale_factor=orb_cfg.scale_factor,
+                fast_threshold=orb_cfg.fast_threshold,
+            )
+        )(stack)
+
+    return run
 
 
 def _board_fit_residual(corners: np.ndarray, pattern) -> float:
@@ -210,63 +234,103 @@ def _board_fit_residual(corners: np.ndarray, pattern) -> float:
     return float(np.abs(proj - img).max())
 
 
-def _detect_board_host(grey_dev, pattern):
-    """Detect the chessboard, minimizing device->host pixel traffic.
+def _detect_board_host(grey_small, pattern, scale):
+    """Detect the chessboard on a (possibly downscaled) host grey image.
 
-    Large frames first try a half-res host copy (the remote-TPU tunnel runs
-    at ~0.01 GB/s, so this cuts transfer bytes 4x); the result is validated
-    with a planar-homography fit and falls back to full resolution when the
-    coarse detection snapped a corner to the wrong saddle. Sub-pixel
-    refinement happens later on device at full resolution either way.
+    Returns full-resolution corner estimates or None. The result is
+    validated with a planar-homography fit — a genuine board is exactly
+    planar, so a corner snapped to a neighboring saddle (the low-res
+    detector's failure mode on oblique views) shows up as a multi-pixel
+    outlier and the detection is rejected rather than corrupting
+    calibration. Sub-pixel refinement happens later on device at full
+    resolution.
     """
-    h, w = grey_dev.shape
-    if min(h, w) >= 512:
-        small = np.asarray(_downsample_u8(grey_dev))
-        c = chessboard.find_chessboard(small, pattern)
-        if c is not None:
-            c = chessboard.canonicalize_corners(np.asarray(c, np.float32) * 2.0, pattern)
-            if _board_fit_residual(c, pattern) < 3.0:
-                return c
-    full = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
-    c = chessboard.find_chessboard(full, pattern)
+    c = chessboard.find_chessboard(grey_small, pattern)
     if c is None:
         return None
-    c = chessboard.canonicalize_corners(np.asarray(c, np.float32), pattern)
-    # Same physical gate at full res: reject non-planar "boards" (spurious
-    # grids in texture) instead of letting them corrupt calibration.
-    if _board_fit_residual(c, pattern) > 6.0:
+    c = chessboard.canonicalize_corners(np.asarray(c, np.float32) * scale, pattern)
+    if _board_fit_residual(c, pattern) > 3.0 * scale:
         return None
     return c
 
 
-def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_chunk, reseed):
+def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_chunk):
     """PASS 1 driver: stream chunks, run the keyframe scan, detect boards.
 
-    Returns (kf_greys, kf_corners, frames_total).
+    Pipelined: chunk k+1's upload + CLAHE + scan are dispatched before chunk
+    k's keyframe flags are read back, so the slow host->device link streams
+    continuously instead of stalling on every round trip. The scan reseeds
+    itself on device (see ``_make_keyframe_scan``), so the only host feedback
+    is board detection — which lags one chunk behind without affecting the
+    scan. Pass-1 frames are downscaled by ``config.pass1_downscale`` (auto:
+    2x for >=720p); keyframes keep their full-res host BGR frames for pass 2.
+
+    Returns (kf_frames_host, kf_corners, frames_total).
     """
+    import time as _time
+
     source = video_mod.FrameSource(video)
+    scale = config.pass1_downscale
     with metrics.stage("pass1_keyframes"):
         carry = None
-        frame_idx = 0
-        kf_greys = []  # DEVICE-resident keyframe greys (float32)
-        kf_corners = []  # detected board corners per accepted keyframe
+        frame_idx = 0  # global index of the next chunk's first frame
+        kf_frames = []  # HOST full-res BGR uint8 keyframe frames
+        kf_corners = []  # detected board corners (full-res px) per keyframe
+        pending = None  # (flags_dev, greys_dev, chunk_host, idx0, real_len, offset)
 
-        def detect(grey_dev, global_idx):
+        def detect(grey_dev, chunk_host_frame, global_idx):
             if known_corners is not None:
-                return chessboard.canonicalize_corners(
+                c = chessboard.canonicalize_corners(
                     np.asarray(known_corners[global_idx], np.float32), pattern
                 )
-            return _detect_board_host(grey_dev, pattern)
+            else:
+                g = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
+                c = _detect_board_host(g, pattern, scale)
+                if c is None and scale > 1:
+                    # Full-res fallback from the retained host frame (rare).
+                    grey_full = np.asarray(chunk_host_frame, np.float32) @ np.array(
+                        [0.114, 0.587, 0.299], np.float32
+                    )
+                    c = _detect_board_host(grey_full.astype(np.uint8), pattern, 1)
+            if c is None:
+                return None
+            # Detectors flip the symmetric grid 180 degrees between frames;
+            # anchor to the previous keyframe to keep 2D-3D assignments
+            # consistent across the whole orbit.
+            return chessboard.orient_corners_to(c, kf_corners[-1] if kf_corners else None)
+
+        def resolve(pending):
+            flags_dev, greys_dev, chunk_host, idx0, real_len, offset = pending
+            t0 = _time.perf_counter()
+            flags = np.array(flags_dev)[:real_len]
+            flags[:offset] = False  # pre-board frames must not fire
+            t1 = _time.perf_counter()
+            for i in np.nonzero(flags)[0]:
+                c = detect(greys_dev[i], chunk_host[i], idx0 + int(i))
+                if c is not None:  # boardless keyframes dropped (processor.py:369-371)
+                    kf_frames.append(np.array(chunk_host[i]))
+                    kf_corners.append(c)
+            logger.debug(
+                "pass1 resolve@%d: sync %.3fs detect %.3fs (%d kf)",
+                idx0,
+                t1 - t0,
+                _time.perf_counter() - t1,
+                int(flags.sum()),
+            )
 
         for chunk in source.chunks(config.frame_chunk):
+            if scale == 0:  # auto: halve for >= 720p (resolve on first chunk)
+                scale = 2 if min(chunk.shape[1], chunk.shape[2]) >= 720 else 1
             # Pad ragged chunks up front so every device op sees one shape.
             real_len = len(chunk)
             if real_len < config.frame_chunk:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], config.frame_chunk - real_len, axis=0)]
                 )
-            greys = _enhanced_grey_batch(jnp.asarray(chunk))  # stays on device
+            small = chunk[:, ::scale, ::scale] if scale > 1 else chunk
+            greys = _enhanced_grey_batch(jnp.asarray(np.ascontiguousarray(small)))
 
+            idx0 = frame_idx
             offset = 0
             if carry is None:
                 # Discard leading frames until the chessboard is visible
@@ -274,40 +338,36 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 # board-free videos (the reference loops forever, SURVEY §5.3).
                 start = None
                 for i in range(real_len):
-                    c = detect(greys[i], frame_idx + i)
+                    c = detect(greys[i], chunk[i], idx0 + i)
                     if c is not None:
                         start = i
-                        kf_greys.append(greys[i])
+                        kf_frames.append(np.array(chunk[i]))
                         kf_corners.append(c)
                         break
                 if start is None:
                     frame_idx += real_len
                     continue
                 carry = init_carry(greys[start])
-                frame_idx += start + 1
                 offset = start + 1
+                frame_idx += real_len
                 if offset >= real_len:
                     continue
+            else:
+                frame_idx += real_len
 
-            carry, flags = scan_chunk(carry, greys)
-            flags = np.array(flags)[:real_len]
-            # Frames before the scan start (pre-board) must not fire.
-            flags[:offset] = False
-            if flags.any():
-                # A keyframe fired in this chunk: re-seed the tracked points
-                # from the chunk's final frame (amortized replacement for the
-                # reference's immediate in-loop reseed, processor.py:104-106).
-                carry = reseed(carry, greys[real_len - 1])
-            for i in np.nonzero(flags)[0]:
-                c = detect(greys[i], frame_idx + int(i) - offset)
-                if c is not None:  # boardless keyframes dropped (processor.py:369-371)
-                    kf_greys.append(greys[i])
-                    kf_corners.append(c)
-            frame_idx += real_len - offset
+            carry, flags = scan_chunk(carry, greys, width_scale=scale)
+            # Resolve the PREVIOUS chunk only after this chunk is dispatched:
+            # its flag download overlaps this chunk's upload + compute.
+            if pending is not None:
+                resolve(pending)
+            pending = (flags, greys, chunk, idx0, real_len, offset)
+
+        if pending is not None:
+            resolve(pending)
 
         metrics.count("frames_total", frame_idx)
-        metrics.count("keyframes", len(kf_greys))
-    return kf_greys, kf_corners, frame_idx
+        metrics.count("keyframes", len(kf_frames))
+    return kf_frames, kf_corners, frame_idx
 
 
 # --------------------------------------------------------------------------
@@ -354,54 +414,66 @@ def process(
     n_corners = pattern[0] * pattern[1]
     ckpt = StageCheckpointer(checkpoint_dir)
 
-    init_carry, scan_chunk, reseed = _make_keyframe_scan(config)
+    init_carry, scan_chunk = _make_keyframe_scan(config)
 
     # ---- PASS 1: stream chunks, select keyframes ----
+    kf_stack = None
     if ckpt.has("keyframes"):
         data = ckpt.load("keyframes")
-        kf_greys = list(data["greys"].astype(np.float32))
+        # float32 enhanced greys: any rounding here would make resumed runs
+        # differ from fresh ones (top-k ties in the detectors flip on
+        # 0.1-level changes).
+        kf_stack = jnp.asarray(data["greys"], jnp.float32)
         kf_corners = list(data["corners"])
+        n_kf = len(kf_corners)
         frame_idx = int(data["frames_total"])
         metrics.count("frames_total", frame_idx)
-        metrics.count("keyframes", len(kf_greys))
+        metrics.count("keyframes", n_kf)
     else:
-        kf_greys, kf_corners, frame_idx = _run_pass1(
-            video, config, pattern, known_corners, metrics,
-            init_carry, scan_chunk, reseed,
+        kf_frames, kf_corners, frame_idx = _run_pass1(
+            video, config, pattern, known_corners, metrics, init_carry, scan_chunk
         )
-        if kf_greys:
-            ckpt.save(
-                "keyframes",
-                # float32: the CLAHE-enhanced greys are float; any rounding
-                # here would make resumed runs differ from fresh ones
-                # (top-k ties in the detectors flip on 0.1-level changes).
-                greys=np.stack([np.asarray(g) for g in kf_greys]).astype(np.float32),
-                corners=np.stack(kf_corners),
-                frames_total=frame_idx,
-            )
+        n_kf = len(kf_frames)
 
-    n_kf = len(kf_greys)
     if n_kf < 3:
         raise ValueError(
             f"only {n_kf} keyframes with a visible chessboard; need >= 3 "
             "(check the video shows the calibration target)"
         )
 
-    # Device-side stack: kf_greys holds device arrays from pass 1 (or host
-    # arrays on checkpoint resume); no host round-trip either way.
-    kf_stack = jnp.stack([jnp.asarray(g, jnp.float32) for g in kf_greys])
+    if kf_stack is None:
+        # Upload the full-res keyframe BGR frames, then the exact reference
+        # preprocessing (increaseContrast + grey, processor.py:314,357) at
+        # full resolution on device — in fixed minibatches so the program
+        # compiles once, not once per keyframe count.
+        with metrics.stage("pass2_preprocess"):
+            mb = _ORB_MINIBATCH
+            frames_p = list(kf_frames) + [kf_frames[-1]] * ((-n_kf) % mb)
+            kf_stack = jnp.concatenate(
+                [
+                    _enhanced_grey_batch(jnp.asarray(np.stack(frames_p[i : i + mb])))
+                    for i in range(0, len(frames_p), mb)
+                ]
+            )[:n_kf]
+            ckpt.save(
+                "keyframes",
+                greys=np.asarray(kf_stack, np.float32),
+                corners=np.stack(kf_corners),
+                frames_total=frame_idx,
+            )
 
     # ---- PASS 2: batched keyframe processing ----
     with metrics.stage("pass2_orb"):
-        orb_batch = jax.vmap(
-            lambda g: orb.detect_and_compute(
-                g,
-                max_features=config.orb.num_features,
-                num_levels=config.orb.num_levels,
-                scale_factor=config.orb.scale_factor,
-                fast_threshold=config.orb.fast_threshold,
-            )
-        )(kf_stack)
+        # Fixed-size minibatches: one compiled program regardless of the
+        # video's keyframe count (n_kf varies per video and a vmap over all
+        # of it both recompiles every time and, at 1080p, can exceed HBM at
+        # compile time).
+        run_orb = _make_orb_minibatch(config.orb)
+        mb = _ORB_MINIBATCH
+        pads = (-n_kf) % mb
+        stack_p = jnp.concatenate([kf_stack, kf_stack[-1:].repeat(pads, 0)]) if pads else kf_stack
+        parts = [run_orb(stack_p[i : i + mb]) for i in range(0, len(stack_p), mb)]
+        orb_batch = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_kf], *parts)
 
     with metrics.stage("pass2_matching"):
         pair_matches = jax.vmap(
@@ -452,7 +524,7 @@ def process(
         )(kf_stack, corners)
 
     with metrics.stage("calibration"):
-        h, w = kf_greys[0].shape
+        h, w = kf_stack.shape[1:]
         obj_z0 = calibration.chessboard_object_points(pattern, corners.dtype)
         calib = calibration.calibrate(
             corners,

@@ -11,12 +11,31 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import time
 from typing import Any, Dict
 
 logger = logging.getLogger("meatmodeler")
 
-__all__ = ["Metrics", "trace", "logger"]
+__all__ = ["Metrics", "trace", "logger", "device_barrier"]
+
+# JAX dispatch is async: a stage's wall-clock normally measures enqueue time,
+# with the compute billed to whichever later stage first blocks. Setting
+# MEATMODELER_SYNC_STAGES=1 drains the device at every stage exit so timings
+# attribute truthfully (at the cost of losing cross-stage overlap).
+_SYNC_STAGES = os.environ.get("MEATMODELER_SYNC_STAGES", "") not in ("", "0")
+
+
+def device_barrier() -> None:
+    """Block until all work enqueued so far on the default backend finishes.
+
+    TPU executables run in dispatch order, so blocking on a fresh trivial
+    computation drains the queue.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    (jnp.zeros(()) + 0.0).block_until_ready()
 
 
 class Metrics:
@@ -31,6 +50,8 @@ class Metrics:
         t0 = time.perf_counter()
         with trace(name):
             yield
+            if _SYNC_STAGES:
+                device_barrier()
         dt = time.perf_counter() - t0
         self.timings[name] = self.timings.get(name, 0.0) + dt
         logger.info("%s: %.3fs", name, dt)

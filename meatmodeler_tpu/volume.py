@@ -60,7 +60,8 @@ def split_item_points(
     d2 = sq[:, None] + sq[None, :] - 2.0 * (points @ points.T)
     d2 = jnp.where(keep[None, :], d2, big)  # only candidate neighbours count
     d2 = d2 + jnp.where(jnp.eye(points.shape[0], dtype=bool), big, 0.0)
-    k_eff = knn
+    # Degenerate reconstructions can hand in fewer points than `knn`.
+    k_eff = min(knn, points.shape[0])
     neg_topk, _ = jax.lax.top_k(-d2, k_eff)  # k smallest distances
     dk = jnp.sqrt(jnp.maximum(-neg_topk[:, -1], 0.0))  # k-th NN distance
     dk_kept = jnp.where(keep, dk, jnp.nan)

@@ -1,7 +1,10 @@
 """Color conversion + CLAHE golden tests vs OpenCV (SURVEY.md §4)."""
 
 import cv2
+import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from meatmodeler_tpu.ops import clahe as clahe_mod
 from meatmodeler_tpu.ops import color
@@ -101,3 +104,30 @@ class TestClahe:
         assert diff.mean() < 4.0, diff.mean()
         corr = np.corrcoef(ours.ravel(), expected.ravel())[0, 1]
         assert corr > 0.995, corr
+
+
+class TestClahePallas:
+    """The Pallas kernels must match the XLA oracle to float rounding."""
+
+    def test_interpret_matches_xla(self):
+        from meatmodeler_tpu.ops.clahe import clahe_xla
+        from meatmodeler_tpu.ops.clahe_pallas import clahe_pallas
+
+        rng = np.random.default_rng(7)
+        for shape, tiles in [((2, 64, 80), (4, 4)), ((1, 67, 120), (8, 8))]:
+            img = rng.integers(0, 256, size=shape).astype(np.float32)
+            ref = np.asarray(clahe_xla(jnp.asarray(img), tiles=tiles))
+            got = np.asarray(clahe_pallas(jnp.asarray(img), tiles=tiles, interpret=True))
+            np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_compiled_matches_xla_on_tpu(self):
+        if jax.default_backend() == "cpu":
+            pytest.skip("needs a TPU backend")
+        from meatmodeler_tpu.ops.clahe import clahe_xla
+        from meatmodeler_tpu.ops.clahe_pallas import clahe_pallas
+
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, size=(2, 135, 240)).astype(np.float32)
+        ref = np.asarray(clahe_xla(jnp.asarray(img)))
+        got = np.asarray(clahe_pallas(jnp.asarray(img)))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
