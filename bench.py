@@ -53,10 +53,21 @@ def load_or_render_clip() -> np.ndarray:
 
 
 def bench_config():
-    from meatmodeler_tpu.config import DEFAULT_CONFIG, MatcherConfig, OrbConfig, TrackConfig
+    from meatmodeler_tpu.config import (
+        DEFAULT_CONFIG,
+        KeyframeConfig,
+        MatcherConfig,
+        OrbConfig,
+        TrackConfig,
+    )
 
     return dataclasses.replace(
         DEFAULT_CONFIG,
+        # Denser keyframes than the reference's 0.1 rule: at 1080p the ~27
+        # frames between 0.1-threshold keyframes starve ORB matching, and
+        # point density drives the volume estimate (the capability the
+        # reference never shipped).
+        keyframe=dataclasses.replace(KeyframeConfig(), threshold=0.05),
         orb=OrbConfig(num_features=4096, num_levels=4),
         matcher=MatcherConfig(max_matches=2048),
         tracks=TrackConfig(max_tracks=8192, max_keyframes=64),

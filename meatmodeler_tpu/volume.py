@@ -179,6 +179,14 @@ def carved_volume(
     gw, gh = w // gs, h // gs
     rad = max(dilation // gs, 1)
 
+    # Morphological closing radius: sparse feature points splat to isolated
+    # dots, and plain dilation either leaves holes the carve then empties
+    # (the item projects ~hundreds of px wide at 1080p) or, made large
+    # enough to bridge them, inflates every silhouette boundary. Closing
+    # (dilate THEN erode) bridges gaps up to twice this radius while
+    # returning the outline to the points' envelope.
+    close_rad = max(56 // gs, 2 * rad)
+
     def silhouette(projmat):
         uvw = homog @ projmat.T  # (P, 3)
         uv = uvw[:, :2] / jnp.where(jnp.abs(uvw[:, 2:3]) > 1e-9, uvw[:, 2:3], 1.0)
@@ -188,10 +196,22 @@ def carved_volume(
         grid = jnp.zeros((gh, gw), jnp.float32).at[
             jnp.where(ok, gy, gh), jnp.where(ok, gx, gw)
         ].set(1.0, mode="drop")
-        # Dilate via max-pool.
-        return jax.lax.reduce_window(
-            grid, jnp.float32(0.0), jax.lax.max, (2 * rad + 1, 2 * rad + 1), (1, 1), "SAME"
-        )
+
+        def maxpool(g, r):
+            return jax.lax.reduce_window(
+                g, jnp.float32(0.0), jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+            )
+
+        def erode(g, r):
+            # init -1 (not 0): reduce_window's init joins every window, and
+            # a 0 init would make max(-g) trivially 0 everywhere.
+            return -jax.lax.reduce_window(
+                -g, jnp.float32(-1.0), jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+            )
+
+        closed = erode(maxpool(grid, close_rad), close_rad)
+        # Final coverage slack around the closed silhouette.
+        return maxpool(closed, rad)
 
     sils = jax.vmap(silhouette)(projections)  # (F, gh, gw)
 
@@ -221,6 +241,14 @@ def carved_volume(
         return jnp.where(active, keep, True)
 
     keeps = jax.vmap(carve_view)(projections, sils, proj_mask)  # (F, V)
-    inside = jnp.all(keeps, axis=0)
+    # Vote, don't intersect: feature-splat silhouettes systematically
+    # under-cover the item (texture-less boundaries carry no keypoints), and
+    # a strict all-views intersection decays geometrically with view count.
+    # Keeping voxels inside >= 80% of the active views tolerates per-view
+    # coverage holes while still carving true free space (which nearly every
+    # view agrees on).
+    n_active = jnp.maximum(jnp.sum(proj_mask), 1)
+    votes = jnp.sum(keeps & proj_mask[:, None], axis=0)
+    inside = votes >= jnp.ceil(0.8 * n_active).astype(votes.dtype)
     voxel_vol = jnp.prod(extent) / (r**3)
     return jnp.sum(inside) * voxel_vol
