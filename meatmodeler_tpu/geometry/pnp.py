@@ -17,6 +17,8 @@ caller undistorts once (``meatmodeler_tpu.geometry.distortion``).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -129,6 +131,7 @@ def refine_pose(
     return jax.lax.fori_loop(0, iters, step, pose)
 
 
+@partial(jax.jit, static_argnames=("obj_cols", "iters"))
 def solve_pnp_batch(
     plane_uv: jax.Array,
     obj_cols,

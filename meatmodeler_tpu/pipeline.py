@@ -268,15 +268,15 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
     Returns (kf_frames_host, kf_corners, frames_total).
     """
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     source = video_mod.FrameSource(video)
     scale = config.pass1_downscale
     with metrics.stage("pass1_keyframes"):
         carry = None
         frame_idx = 0  # global index of the next chunk's first frame
-        kf_frames = []  # HOST full-res BGR uint8 keyframe frames
+        kf_frames = []  # DEVICE full-res BGR uint8 keyframe frames
         kf_corners = []  # detected board corners (full-res px) per keyframe
-        pending = None  # (flags_dev, greys_dev, chunk_host, idx0, real_len, offset)
 
         def detect(grey_dev, chunk_host_frame, global_idx):
             if known_corners is not None:
@@ -299,8 +299,7 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
             # consistent across the whole orbit.
             return chessboard.orient_corners_to(c, kf_corners[-1] if kf_corners else None)
 
-        def resolve(pending):
-            flags_dev, greys_dev, chunk_host, idx0, real_len, offset = pending
+        def resolve(flags_dev, greys_dev, chunk_host, idx0, real_len, offset):
             t0 = _time.perf_counter()
             flags = np.array(flags_dev)[:real_len]
             flags[:offset] = False  # pre-board frames must not fire
@@ -308,7 +307,10 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
             for i in np.nonzero(flags)[0]:
                 c = detect(greys_dev[i], chunk_host[i], idx0 + int(i))
                 if c is not None:  # boardless keyframes dropped (processor.py:369-371)
-                    kf_frames.append(np.array(chunk_host[i]))
+                    # Upload the full-res keyframe NOW: the link is idle
+                    # while the detector runs, and pass 2 then starts with
+                    # everything already device-resident.
+                    kf_frames.append(jax.device_put(np.ascontiguousarray(chunk_host[i])))
                     kf_corners.append(c)
             logger.debug(
                 "pass1 resolve@%d: sync %.3fs detect %.3fs (%d kf)",
@@ -317,6 +319,13 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 _time.perf_counter() - t1,
                 int(flags.sum()),
             )
+
+        # Board detection runs on a single worker thread: cv2 releases the
+        # GIL, so detection of chunk k's keyframes overlaps the upload and
+        # device compute of chunk k+1 (the single worker keeps detections —
+        # and the orientation anchor — strictly ordered).
+        executor = ThreadPoolExecutor(max_workers=1)
+        futures = []
 
         for chunk in source.chunks(config.frame_chunk):
             if scale == 0:  # auto: halve for >= 720p (resolve on first chunk)
@@ -341,7 +350,7 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                     c = detect(greys[i], chunk[i], idx0 + i)
                     if c is not None:
                         start = i
-                        kf_frames.append(np.array(chunk[i]))
+                        kf_frames.append(jax.device_put(np.ascontiguousarray(chunk[i])))
                         kf_corners.append(c)
                         break
                 if start is None:
@@ -356,14 +365,13 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 frame_idx += real_len
 
             carry, flags = scan_chunk(carry, greys, width_scale=scale)
-            # Resolve the PREVIOUS chunk only after this chunk is dispatched:
-            # its flag download overlaps this chunk's upload + compute.
-            if pending is not None:
-                resolve(pending)
-            pending = (flags, greys, chunk, idx0, real_len, offset)
+            futures.append(
+                executor.submit(resolve, flags, greys, chunk, idx0, real_len, offset)
+            )
 
-        if pending is not None:
-            resolve(pending)
+        executor.shutdown(wait=True)
+        for fut in futures:
+            fut.result()  # surface worker exceptions
 
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes", len(kf_frames))
@@ -447,11 +455,13 @@ def process(
         # full resolution on device — in fixed minibatches so the program
         # compiles once, not once per keyframe count.
         with metrics.stage("pass2_preprocess"):
+            # kf_frames are already device-resident (uploaded by the pass-1
+            # detection worker while the link was otherwise idle).
             mb = _ORB_MINIBATCH
             frames_p = list(kf_frames) + [kf_frames[-1]] * ((-n_kf) % mb)
             kf_stack = jnp.concatenate(
                 [
-                    _enhanced_grey_batch(jnp.asarray(np.stack(frames_p[i : i + mb])))
+                    _enhanced_grey_batch(jnp.stack(frames_p[i : i + mb]))
                     for i in range(0, len(frames_p), mb)
                 ]
             )[:n_kf]
