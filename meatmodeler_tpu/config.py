@@ -141,6 +141,12 @@ class PipelineConfig:
     # scale linearly), while upload bytes and scan FLOPs drop by scale^2.
     # Pass 2 always works on full-resolution keyframes.
     pass1_downscale: int = 0
+    # Incremental (online) bundle adjustment: re-solve the BA after every
+    # keyframe prefix instead of once globally — the reference's *intended*
+    # design, left commented out at processor.py:395-408 (SURVEY.md §2.2).
+    # One compiled masked solve is reused for every prefix; the final prefix
+    # IS the global problem, so results match the batch mode at convergence.
+    incremental_ba: bool = False
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -615,15 +615,40 @@ def process(
         remap[np.nonzero(tri_valid_np)[0]] = np.arange(tri_valid_np.sum(), dtype=np.int32)
         obs, fidx, pidx = obs[obs_keep], fidx[obs_keep], remap[pidx[obs_keep]]
 
-        new_pts, new_ext, ba_res = bundle_adjust.adjust_points(
-            ext_refined,
-            calib.intrinsics,
-            points,
-            obs,
-            fidx,
-            pidx,
-            config=config.solver,
-        )
+        if config.incremental_ba:
+            # Online refinement — the reference's intended incremental design
+            # (commented out at processor.py:395-408): after each keyframe,
+            # re-solve the BA on the observation prefix. One compiled masked
+            # solve is reused for every prefix (shapes never change); the
+            # final prefix IS the global problem.
+            ext_cur, pts_cur = ext_refined, points
+            fidx_j = jnp.asarray(fidx)
+            rmse_steps = []
+            for k in range(3, n_kf + 1):
+                pts_cur, ext4, ba_res = bundle_adjust.adjust_points(
+                    ext_cur,
+                    calib.intrinsics,
+                    pts_cur,
+                    obs,
+                    fidx,
+                    pidx,
+                    mask=fidx_j < k,
+                    config=config.solver,
+                )
+                ext_cur = ext4[:, :3, :]
+                rmse_steps.append(float(ba_res.rmse))
+            new_pts, new_ext = pts_cur, ext4
+            metrics.count("ba_rmse_px_steps", rmse_steps)
+        else:
+            new_pts, new_ext, ba_res = bundle_adjust.adjust_points(
+                ext_refined,
+                calib.intrinsics,
+                points,
+                obs,
+                fidx,
+                pidx,
+                config=config.solver,
+            )
         metrics.count("ba_rmse_px", float(ba_res.rmse))
         metrics.count("ba_iterations", int(ba_res.iterations))
         metrics.count("points", int(len(np.asarray(new_pts))))

@@ -109,3 +109,17 @@ class TestFailurePaths:
         frames = rng.integers(0, 255, size=(10, 120, 160, 3), dtype=np.uint8)
         with pytest.raises(ValueError, match="chessboard"):
             process(frames, config=TEST_CONFIG)
+
+
+class TestIncrementalBA:
+    def test_matches_global_ba(self, synthetic_run):
+        """Incremental (per-keyframe-prefix) BA must land where the global
+        solve does — the final prefix IS the global problem."""
+        result, _, _, _ = synthetic_run
+        frames, _, _ = render_sequence(SCENE, 40, seed=0)
+        cfg = dataclasses.replace(TEST_CONFIG, incremental_ba=True)
+        inc = process(frames, config=cfg)
+        assert inc.reprojection_rmse < max(1.2 * result.reprojection_rmse, 2.0)
+        assert len(inc.points) == len(result.points)
+        steps = inc.metrics["counters"]["ba_rmse_px_steps"]
+        assert len(steps) >= 2 and np.isfinite(steps).all()
