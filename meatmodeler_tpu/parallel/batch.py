@@ -1,0 +1,160 @@
+"""Multi-video reconstruction with mesh-sharded bundle adjustment.
+
+BASELINE config 5: "batched multi-object pipeline: concurrent videos sharded
+across a v5e-8 with per-core BA solves". The reference is strictly one video
+per process with zero parallelism (SURVEY.md §2.5); here ``process_batch``
+reconstructs a batch of videos and runs every video's Schur BA solve
+concurrently — one per mesh ``data`` core via ``shard_map``
+(``sharded.solve_ba_batch``), with NO cross-device communication (the solves
+are independent).
+
+The host-driven phases (video decode, keyframe selection, board detection)
+are inherently per-video and run sequentially; all device-heavy geometry
+(BA, volume) is batched. Problems are padded to common static capacities so
+one compiled program serves every video.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from meatmodeler_tpu.geometry import projection
+from meatmodeler_tpu.io import ply as ply_mod
+from meatmodeler_tpu.parallel import sharded
+from meatmodeler_tpu.pipeline import (
+    ProcessResult,
+    _estimate_volume,
+    _reconstruct_to_ba,
+)
+from meatmodeler_tpu.solvers import bundle_adjust
+from meatmodeler_tpu.utils import Metrics
+from meatmodeler_tpu.utils.checkpoint import StageCheckpointer
+
+__all__ = ["process_batch"]
+
+
+def _pad_to(arr: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
+    pad = n - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths)
+
+
+def process_batch(
+    videos: Sequence,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+    paths: Optional[Sequence[Optional[str]]] = None,
+    known_corners: Optional[Sequence[Optional[np.ndarray]]] = None,
+) -> List[ProcessResult]:
+    """Reconstruct several videos with their BA solves sharded over a mesh.
+
+    Args:
+      videos: sequence of video sources (paths or (T, H, W, 3) uint8 arrays).
+      config: shared config tree.
+      mesh: a ('data', 'model') Mesh; the video batch shards over 'data'
+        (``sharded.make_mesh()``). None solves the batch on one device
+        (still a single compiled vmap over videos).
+      paths: optional per-video output prefixes (``<path>Cloud.ply``).
+      known_corners: optional per-video ground-truth board corners.
+
+    Returns:
+      One ProcessResult per video, in input order.
+    """
+    n_videos = len(videos)
+    paths = paths if paths is not None else [None] * n_videos
+    known_corners = (
+        known_corners if known_corners is not None else [None] * n_videos
+    )
+
+    # ---- per-video host-driven phases (decode, keyframes, features) ----
+    metrics_list = [Metrics() for _ in range(n_videos)]
+    pres = [
+        _reconstruct_to_ba(v, config, kc, m, StageCheckpointer(None))
+        for v, kc, m in zip(videos, known_corners, metrics_list)
+    ]
+
+    # ---- pad every video's BA problem to shared static capacities ----
+    f_max = max(p.n_kf for p in pres)
+    p_max = max(len(p.points) for p in pres)
+    o_max = max(len(p.obs) for p in pres)
+
+    def problem(pre) -> bundle_adjust.BAProblem:
+        cams = np.asarray(projection.params_from_extrinsics(pre.ext_refined))
+        n_obs = len(pre.obs)
+        return bundle_adjust.BAProblem(
+            cam_params=jnp.asarray(_pad_to(cams, f_max)),
+            points=jnp.asarray(_pad_to(np.asarray(pre.points, np.float32), p_max)),
+            intrinsics=jnp.asarray(pre.intrinsics),
+            obs=jnp.asarray(_pad_to(np.asarray(pre.obs, np.float32), o_max)),
+            frame_idx=jnp.asarray(_pad_to(np.asarray(pre.fidx, np.int32), o_max)),
+            point_idx=jnp.asarray(_pad_to(np.asarray(pre.pidx, np.int32), o_max)),
+            mask=jnp.arange(o_max) < n_obs,
+        )
+
+    problems = [problem(p) for p in pres]
+    # The data axis must divide the batch: pad with copies of the last
+    # problem (their results are discarded).
+    n_solve = n_videos
+    if mesh is not None:
+        data = mesh.shape["data"]
+        while n_solve % data:
+            problems.append(problems[-1])
+            n_solve += 1
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+
+    # ---- per-core independent Schur solves ----
+    if mesh is not None:
+        result = sharded.solve_ba_batch(mesh, batched, config=config.solver)
+    else:
+        result = jax.vmap(
+            lambda pr: bundle_adjust.solve_ba(pr, config=config.solver)
+        )(batched)
+
+    # ---- unpack, volume, PLY per video ----
+    out: List[ProcessResult] = []
+    for i, (pre, metrics, path) in enumerate(zip(pres, metrics_list, paths)):
+        cams = result.cam_params[i, : pre.n_kf]
+        ext4 = projection.extrinsics_from_params(cams, homogeneous=True)
+        pts = np.asarray(result.points[i, : len(pre.points)])
+        rmse = float(np.asarray(result.rmse[i]))
+        metrics.count("ba_rmse_px", rmse)
+        metrics.count("ba_iterations", int(np.asarray(result.iterations[i])))
+        metrics.count("points", len(pts))
+
+        vol_hull, vol_carve, n_item = _estimate_volume(
+            jnp.asarray(pts),
+            pre.intrinsics,
+            jnp.asarray(ext4),
+            pre.n_kf,
+            pre.image_size,
+            config,
+        )
+        metrics.count("item_points", n_item)
+
+        ply_path = None
+        if path is not None:
+            ply_path = ply_mod.write_ply(str(path) + "Cloud.ply", pts)
+
+        out.append(
+            ProcessResult(
+                points=pts,
+                extrinsics=np.asarray(ext4),
+                intrinsics=np.asarray(pre.intrinsics),
+                distortion=np.asarray(pre.dist),
+                volume=vol_hull,
+                volume_carved=vol_carve,
+                ply_path=ply_path,
+                reprojection_rmse=rmse,
+                metrics=metrics.as_dict(),
+            )
+        )
+    return out

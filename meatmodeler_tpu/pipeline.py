@@ -383,45 +383,27 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
 # --------------------------------------------------------------------------
 
 
-def process(
-    video,
-    path: Optional[str] = None,
-    lk_params: Optional[dict] = None,
-    feature_params: Optional[dict] = None,
-    flann_params: Optional[dict] = None,
-    config: PipelineConfig = DEFAULT_CONFIG,
-    known_corners: Optional[np.ndarray] = None,
-    checkpoint_dir: Optional[str] = None,
-) -> ProcessResult:
-    """Video -> bundle-adjusted point cloud + volume (+ ``<path>Cloud.ply``).
+class PreBA(NamedTuple):
+    """Everything ``process`` computes before the global bundle adjustment —
+    the per-video unit that ``parallel.batch.process_batch`` pads, stacks,
+    and solves across a device mesh (BASELINE config 5)."""
 
-    Args:
-      video: path (video/.npy/.y4m) or (T, H, W[, 3]) uint8 array.
-      path: output prefix; writes ``<path>Cloud.ply`` like ``processor.py:480``
-        (skipped if None).
-      lk_params / feature_params / flann_params: reference-compatible cv2
-        param dicts (``processor.py:294-301``); folded into `config`.
-        ``flann_params`` is accepted and ignored — matching is exact here.
-      config: the full config tree.
-      known_corners: optional (T, N, 2) ground-truth board corners per frame
-        (synthetic benchmarks; skips host detection).
-      checkpoint_dir: if set, per-stage artifacts persist there and a re-run
-        resumes after the last completed stage (SURVEY.md §5.4 — the
-        reference has no checkpointing of any kind).
+    ext_refined: jax.Array  # (F, 3, 4) pose-BA-refined extrinsics
+    intrinsics: jax.Array  # (3, 3)
+    dist: jax.Array  # (5,)
+    points: np.ndarray  # (P, 3) triangulated points (inliers only)
+    obs: np.ndarray  # (O, 2) undistorted observations
+    fidx: np.ndarray  # (O,) frame indices
+    pidx: np.ndarray  # (O,) point indices
+    n_kf: int
+    image_size: Tuple[int, int]  # (w, h)
+    frames_total: int
 
-    Returns:
-      ProcessResult — including the point cloud the reference promised but
-      never returned (``processor.py:303``).
-    """
-    from meatmodeler_tpu.utils.checkpoint import StageCheckpointer
 
-    del flann_params  # exact MXU matching needs no FLANN tuning
-    config = _config_from_param_dicts(config, lk_params, feature_params)
-    metrics = Metrics()
+def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
+    """PASS 1 + PASS 2 + geometry up to (but excluding) the global BA."""
     pattern = config.chessboard.pattern
     n_corners = pattern[0] * pattern[1]
-    ckpt = StageCheckpointer(checkpoint_dir)
-
     init_carry, scan_chunk = _make_keyframe_scan(config)
 
     # ---- PASS 1: stream chunks, select keyframes ----
@@ -605,33 +587,89 @@ def process(
             "outlier_tracks_dropped", int(np.asarray(finite & ~inlier).sum())
         )
 
-    with metrics.stage("bundle_adjustment"):
-        points, obs, fidx, pidx, track_ids = tracks_mod.to_ba_arrays(store)
-        tri_valid_np = np.asarray(tri_valid)[track_ids]
-        obs_keep = tri_valid_np[pidx]
-        points = points[tri_valid_np]
-        # Reindex after filtering.
-        remap = -np.ones(len(tri_valid_np), np.int32)
-        remap[np.nonzero(tri_valid_np)[0]] = np.arange(tri_valid_np.sum(), dtype=np.int32)
-        obs, fidx, pidx = obs[obs_keep], fidx[obs_keep], remap[pidx[obs_keep]]
+    points, obs, fidx, pidx, track_ids = tracks_mod.to_ba_arrays(store)
+    tri_valid_np = np.asarray(tri_valid)[track_ids]
+    obs_keep = tri_valid_np[pidx]
+    points = points[tri_valid_np]
+    # Reindex after filtering.
+    remap = -np.ones(len(tri_valid_np), np.int32)
+    remap[np.nonzero(tri_valid_np)[0]] = np.arange(tri_valid_np.sum(), dtype=np.int32)
+    obs, fidx, pidx = obs[obs_keep], fidx[obs_keep], remap[pidx[obs_keep]]
 
+    return PreBA(
+        ext_refined=ext_refined,
+        intrinsics=calib.intrinsics,
+        dist=calib.dist,
+        points=points,
+        obs=obs,
+        fidx=fidx,
+        pidx=pidx,
+        n_kf=n_kf,
+        image_size=(int(w), int(h)),
+        frames_total=frame_idx,
+    )
+
+
+
+def process(
+    video,
+    path: Optional[str] = None,
+    lk_params: Optional[dict] = None,
+    feature_params: Optional[dict] = None,
+    flann_params: Optional[dict] = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    known_corners: Optional[np.ndarray] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> ProcessResult:
+    """Video -> bundle-adjusted point cloud + volume (+ ``<path>Cloud.ply``).
+
+    Args:
+      video: path (video/.npy/.y4m) or (T, H, W[, 3]) uint8 array.
+      path: output prefix; writes ``<path>Cloud.ply`` like ``processor.py:480``
+        (skipped if None).
+      lk_params / feature_params / flann_params: reference-compatible cv2
+        param dicts (``processor.py:294-301``); folded into `config`.
+        ``flann_params`` is accepted and ignored — matching is exact here.
+      config: the full config tree.
+      known_corners: optional (T, N, 2) ground-truth board corners per frame
+        (synthetic benchmarks; skips host detection).
+      checkpoint_dir: if set, per-stage artifacts persist there and a re-run
+        resumes after the last completed stage (SURVEY.md §5.4 — the
+        reference has no checkpointing of any kind).
+
+    Returns:
+      ProcessResult — including the point cloud the reference promised but
+      never returned (``processor.py:303``).
+    """
+    from meatmodeler_tpu.utils.checkpoint import StageCheckpointer
+
+    del flann_params  # exact MXU matching needs no FLANN tuning
+    config = _config_from_param_dicts(config, lk_params, feature_params)
+    metrics = Metrics()
+    ckpt = StageCheckpointer(checkpoint_dir)
+
+    pre = _reconstruct_to_ba(video, config, known_corners, metrics, ckpt)
+    n_kf = pre.n_kf
+    w, h = pre.image_size
+
+    with metrics.stage("bundle_adjustment"):
         if config.incremental_ba:
             # Online refinement — the reference's intended incremental design
             # (commented out at processor.py:395-408): after each keyframe,
             # re-solve the BA on the observation prefix. One compiled masked
             # solve is reused for every prefix (shapes never change); the
             # final prefix IS the global problem.
-            ext_cur, pts_cur = ext_refined, points
-            fidx_j = jnp.asarray(fidx)
+            ext_cur, pts_cur = pre.ext_refined, pre.points
+            fidx_j = jnp.asarray(pre.fidx)
             rmse_steps = []
             for k in range(3, n_kf + 1):
                 pts_cur, ext4, ba_res = bundle_adjust.adjust_points(
                     ext_cur,
-                    calib.intrinsics,
+                    pre.intrinsics,
                     pts_cur,
-                    obs,
-                    fidx,
-                    pidx,
+                    pre.obs,
+                    pre.fidx,
+                    pre.pidx,
                     mask=fidx_j < k,
                     config=config.solver,
                 )
@@ -641,12 +679,12 @@ def process(
             metrics.count("ba_rmse_px_steps", rmse_steps)
         else:
             new_pts, new_ext, ba_res = bundle_adjust.adjust_points(
-                ext_refined,
-                calib.intrinsics,
-                points,
-                obs,
-                fidx,
-                pidx,
+                pre.ext_refined,
+                pre.intrinsics,
+                pre.points,
+                pre.obs,
+                pre.fidx,
+                pre.pidx,
                 config=config.solver,
             )
         metrics.count("ba_rmse_px", float(ba_res.rmse))
@@ -656,39 +694,16 @@ def process(
             "cloud",
             points=np.asarray(new_pts),
             extrinsics=np.asarray(new_ext),
-            intrinsics=np.asarray(calib.intrinsics),
-            distortion=np.asarray(calib.dist),
+            intrinsics=np.asarray(pre.intrinsics),
+            distortion=np.asarray(pre.dist),
             rmse=float(ba_res.rmse),
         )
 
     with metrics.stage("volume"):
-        pts_j = jnp.asarray(new_pts)
-        pmask = jnp.ones(pts_j.shape[0], bool)
-        item_mask = volume_mod.split_item_points(pts_j, pmask)
-        have_item = bool(np.asarray(item_mask).sum() >= 8)
-        if have_item:
-            vol_hull = float(
-                volume_mod.convex_hull_volume(
-                    pts_j, item_mask, resolution=config.volume.voxel_resolution
-                )
-            )
-            proj_new = projection.projection_from_extrinsic(
-                calib.intrinsics, jnp.asarray(new_ext)[:, :3, :]
-            )
-            vol_carve = float(
-                volume_mod.carved_volume(
-                    pts_j,
-                    item_mask,
-                    proj_new,
-                    jnp.ones(n_kf, bool),
-                    image_size=(w, h),
-                    resolution=config.volume.voxel_resolution,
-                    dilation=config.volume.carve_dilation,
-                )
-            )
-        else:
-            vol_hull = vol_carve = float("nan")
-        metrics.count("item_points", int(np.asarray(item_mask).sum()))
+        vol_hull, vol_carve, n_item = _estimate_volume(
+            jnp.asarray(new_pts), pre.intrinsics, jnp.asarray(new_ext), n_kf, (w, h), config
+        )
+        metrics.count("item_points", n_item)
         metrics.count("volume_hull", vol_hull)
         metrics.count("volume_carved", vol_carve)
 
@@ -700,11 +715,40 @@ def process(
     return ProcessResult(
         points=np.asarray(new_pts),
         extrinsics=np.asarray(new_ext),
-        intrinsics=np.asarray(calib.intrinsics),
-        distortion=np.asarray(calib.dist),
+        intrinsics=np.asarray(pre.intrinsics),
+        distortion=np.asarray(pre.dist),
         volume=vol_hull,
         volume_carved=vol_carve,
         ply_path=ply_path,
         reprojection_rmse=float(ba_res.rmse),
         metrics=metrics.as_dict(),
     )
+
+
+def _estimate_volume(pts_j, intrinsics, ext4, n_kf, image_size, config):
+    """Hull + carved volume of the item points; NaNs when too few points."""
+    w, h = image_size
+    pmask = jnp.ones(pts_j.shape[0], bool)
+    item_mask = volume_mod.split_item_points(pts_j, pmask)
+    have_item = bool(np.asarray(item_mask).sum() >= 8)
+    if have_item:
+        vol_hull = float(
+            volume_mod.convex_hull_volume(
+                pts_j, item_mask, resolution=config.volume.voxel_resolution
+            )
+        )
+        proj_new = projection.projection_from_extrinsic(intrinsics, ext4[:, :3, :])
+        vol_carve = float(
+            volume_mod.carved_volume(
+                pts_j,
+                item_mask,
+                proj_new,
+                jnp.ones(n_kf, bool),
+                image_size=(w, h),
+                resolution=config.volume.voxel_resolution,
+                dilation=config.volume.carve_dilation,
+            )
+        )
+    else:
+        vol_hull = vol_carve = float("nan")
+    return vol_hull, vol_carve, int(np.asarray(item_mask).sum())

@@ -1,0 +1,62 @@
+"""Multi-video process_batch: sharded per-core BA solves must reproduce the
+single-video pipeline (BASELINE config 5, on the virtual 8-device CPU mesh)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from meatmodeler_tpu.config import (
+    DEFAULT_CONFIG,
+    KeyframeConfig,
+    MatcherConfig,
+    OrbConfig,
+    TrackConfig,
+    VolumeConfig,
+)
+from meatmodeler_tpu.io.synthetic import TurntableScene, render_sequence
+from meatmodeler_tpu.parallel import sharded
+from meatmodeler_tpu.parallel.batch import process_batch
+from meatmodeler_tpu.pipeline import process
+
+CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    keyframe=dataclasses.replace(KeyframeConfig(), max_corners=256, threshold=0.02),
+    orb=OrbConfig(num_features=768, num_levels=2),
+    matcher=MatcherConfig(max_matches=512),
+    tracks=TrackConfig(max_tracks=2048, max_keyframes=32),
+    volume=VolumeConfig(voxel_resolution=48),
+    frame_chunk=8,
+)
+
+
+@pytest.fixture(scope="module")
+def two_videos():
+    s1 = TurntableScene(image_size=(400, 300), focal=420.0, noise_sigma=1.0)
+    s2 = TurntableScene(image_size=(400, 300), focal=500.0, noise_sigma=1.0)
+    v1, _, _ = render_sequence(s1, 28, seed=0)
+    v2, _, _ = render_sequence(s2, 28, seed=5)
+    return [v1, v2], [s1, s2]
+
+
+class TestProcessBatch:
+    def test_sharded_matches_single(self, two_videos):
+        videos, scenes = two_videos
+        mesh = sharded.make_mesh(data=2, model=1)
+        batch = process_batch(videos, config=CFG, mesh=mesh)
+        assert len(batch) == 2
+        for res, scene, video in zip(batch, scenes, videos):
+            single = process(video, config=CFG)
+            # Same reconstruction problem -> same solution (both solves are
+            # the identical Schur LM on identical inputs).
+            assert abs(res.reprojection_rmse - single.reprojection_rmse) < 0.05
+            assert len(res.points) == len(single.points)
+            np.testing.assert_allclose(res.points, single.points, atol=1e-2)
+            # Calibration quality carried through.
+            assert abs(res.intrinsics[0, 0] - scene.focal) / scene.focal < 0.05
+
+    def test_unpadded_batch_without_mesh(self, two_videos):
+        videos, _ = two_videos
+        batch = process_batch(videos[:1], config=CFG, mesh=None)
+        assert len(batch) == 1
+        assert np.isfinite(batch[0].reprojection_rmse)
