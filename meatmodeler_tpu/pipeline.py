@@ -184,6 +184,18 @@ def _enhanced_grey_batch(bgr_chunk):
     return clahe.enhanced_grey(bgr_chunk)
 
 
+@jax.jit
+def _clahe_grey_batch(grey_chunk):
+    """CLAHE directly on grey frames — pass 1's cheap path.
+
+    Pass 1 only needs enhanced greys for the keyframe DECISION and coarse
+    board detection; converting BGR->grey on the host and shipping one byte
+    per pixel cuts the dominant host->device traffic 3x. (Keyframes are
+    re-processed at full resolution through the exact reference path,
+    CLAHE-on-LAB-L then grey — enhance_contrast_bgr — in pass 2.)"""
+    return clahe.clahe(grey_chunk.astype(jnp.float32)).astype(jnp.float32)
+
+
 _ORB_MINIBATCH = 4
 
 
@@ -337,7 +349,13 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                     [chunk, np.repeat(chunk[-1:], config.frame_chunk - real_len, axis=0)]
                 )
             small = chunk[:, ::scale, ::scale] if scale > 1 else chunk
-            greys = _enhanced_grey_batch(jnp.asarray(np.ascontiguousarray(small)))
+            # Host-side BT.601 grey: ship (T, H, W) uint8 instead of BGR.
+            grey_host = (
+                small[..., 0] * np.float32(0.114)
+                + small[..., 1] * np.float32(0.587)
+                + small[..., 2] * np.float32(0.299)
+            ).astype(np.uint8)
+            greys = _clahe_grey_batch(jnp.asarray(grey_host))
 
             idx0 = frame_idx
             offset = 0

@@ -89,12 +89,13 @@ def _fibonacci_directions(n: int) -> np.ndarray:
     ).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("resolution", "num_directions"))
+@partial(jax.jit, static_argnames=("resolution", "num_directions", "trim"))
 def convex_hull_volume(
     points: jax.Array,
     mask: jax.Array,
     resolution: int = 64,
     num_directions: int = 256,
+    trim: int = 2,
 ) -> jax.Array:
     """Convex-hull volume of the masked points via support-function voxels.
 
@@ -103,6 +104,10 @@ def convex_hull_volume(
       mask: (P,) validity.
       resolution: voxel grid edge count R (R^3 cells over the tight AABB).
       num_directions: support directions D (more -> tighter hull).
+      trim: use the (trim+1)-th largest projection as each direction's
+        support — a raw max lets ANY surviving mis-triangulated point
+        inflate the hull cubically, while discarding the top couple of
+        points per direction costs a dense cloud only a sliver of surface.
 
     Returns:
       scalar volume (in world units^3).
@@ -114,10 +119,13 @@ def convex_hull_volume(
     hi = jnp.nanmax(pts, axis=0)
     extent = jnp.maximum(hi - lo, 1e-6)
 
-    # Support values: h(d) = max over valid points of <p, d> — (P, D) matmul.
+    # Support values: h(d) = trimmed max over valid points of <p, d> —
+    # a (P, D) matmul followed by a per-direction top-k.
     proj = jnp.dot(points.astype(jnp.float32), dirs.T, precision=jax.lax.Precision.HIGHEST)
     proj = jnp.where(mask[:, None], proj, -big)
-    support = jnp.max(proj, axis=0)  # (D,)
+    k_eff = min(trim + 1, points.shape[0])
+    topk, _ = jax.lax.top_k(proj.T, k_eff)  # (D, k)
+    support = topk[:, k_eff - 1]  # (D,)
 
     # Voxel centers over the AABB.
     r = resolution
