@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     parser.add_argument("--pattern", type=int, nargs=2, default=None, metavar=("W", "H"), help="chessboard inner corners")
     parser.add_argument("--side-length", type=float, default=None, help="board square size (world units)")
     parser.add_argument("--max-features", type=int, default=None, help="ORB feature budget per keyframe")
+    parser.add_argument("--keyframe-threshold", type=float, default=None, help="keyframe accumulation threshold (reference default 0.1; smaller = denser)")
+    parser.add_argument("--incremental", action="store_true", help="online BA after every keyframe (the reference's intended design)")
+    parser.add_argument("--checkpoint-dir", default=None, help="persist per-stage artifacts; re-runs resume")
     parser.add_argument("--json", action="store_true", help="print metrics as JSON")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -49,8 +52,16 @@ def main(argv=None) -> int:
         config = dataclasses.replace(
             config, orb=dataclasses.replace(config.orb, num_features=args.max_features)
         )
+    if args.keyframe_threshold:
+        config = dataclasses.replace(
+            config, keyframe=dataclasses.replace(config.keyframe, threshold=args.keyframe_threshold)
+        )
+    if args.incremental:
+        config = dataclasses.replace(config, incremental_ba=True)
 
-    result = process(args.video, path=args.output, config=config)
+    result = process(
+        args.video, path=args.output, config=config, checkpoint_dir=args.checkpoint_dir
+    )
 
     if args.json:
         print(
