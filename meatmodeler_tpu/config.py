@@ -84,6 +84,12 @@ class ChessboardConfig:
     subpix_window: int = 11
     subpix_iters: int = 30
     subpix_eps: float = 1e-3
+    # Board detector: "device" (saddle top-k + batched homography-hypothesis
+    # grid fit, ops/board_detect.py), "host" (cv2.findChessboardCorners as in
+    # processor.py:315), or "auto" (device first, host fallback per frame).
+    detector: str = "auto"
+    detect_candidates: int = 24  # saddle candidates kept for grid assignment
+    detect_tol: float = 3.0  # px gate between projected grid and candidates
     # Calibration constraints. The reference runs full cv2.calibrateCamera
     # (processor.py:49-53), which is degenerate for its own tiny (4, 3)
     # board on turntable orbits (cv2 returns garbage focals there too); the

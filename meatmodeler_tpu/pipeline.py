@@ -54,7 +54,7 @@ from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from meatmodeler_tpu.geometry import calibration, distortion, pnp, projection, triangulation
 from meatmodeler_tpu.io import ply as ply_mod
 from meatmodeler_tpu.io import video as video_mod
-from meatmodeler_tpu.ops import chessboard, clahe, features, klt, matching, orb
+from meatmodeler_tpu.ops import board_detect, chessboard, clahe, features, klt, matching, orb
 from meatmodeler_tpu.solvers import bundle_adjust
 from meatmodeler_tpu.utils import Metrics
 from meatmodeler_tpu.utils.profiling import logger
@@ -251,7 +251,7 @@ def _detect_board_host(grey_small, pattern, scale):
 
     Returns full-resolution corner estimates or None. The result is
     validated with a planar-homography fit — a genuine board is exactly
-    planar, so a corner snapped to a neighboring saddle (the low-res
+    planar, so a corner snapped to a neighboring saddle (the half-res
     detector's failure mode on oblique views) shows up as a multi-pixel
     outlier and the detection is rejected rather than corrupting
     calibration. Sub-pixel refinement happens later on device at full
@@ -261,6 +261,27 @@ def _detect_board_host(grey_small, pattern, scale):
     if c is None:
         return None
     c = chessboard.canonicalize_corners(np.asarray(c, np.float32) * scale, pattern)
+    if _board_fit_residual(c, pattern) > 3.0 * scale:
+        return None
+    return c
+
+
+def _detect_board_device(grey_dev, pattern, scale, cb_cfg):
+    """On-device detection (ops/board_detect.py) on the device-resident grey.
+
+    Replaces the host ``cv2.findChessboardCorners`` round trip: the image
+    never leaves HBM; only the 12-corner result and an ok flag come back.
+    Validated by the same planar-homography gate as the host path.
+    """
+    det = board_detect.find_chessboard_device(
+        grey_dev,
+        pattern=pattern,
+        max_candidates=cb_cfg.detect_candidates,
+        tol=cb_cfg.detect_tol,
+    )
+    if not bool(det.ok):
+        return None
+    c = chessboard.canonicalize_corners(np.asarray(det.corners, np.float32) * scale, pattern)
     if _board_fit_residual(c, pattern) > 3.0 * scale:
         return None
     return c
@@ -296,14 +317,21 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                     np.asarray(known_corners[global_idx], np.float32), pattern
                 )
             else:
-                g = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
-                c = _detect_board_host(g, pattern, scale)
-                if c is None and scale > 1:
-                    # Full-res fallback from the retained host frame (rare).
-                    grey_full = np.asarray(chunk_host_frame, np.float32) @ np.array(
-                        [0.114, 0.587, 0.299], np.float32
-                    )
-                    c = _detect_board_host(grey_full.astype(np.uint8), pattern, 1)
+                mode = config.chessboard.detector
+                c = None
+                if mode in ("device", "auto"):
+                    c = _detect_board_device(grey_dev, pattern, scale, config.chessboard)
+                if c is None and mode in ("host", "auto"):
+                    if mode == "auto":
+                        metrics.add("board_detect_host_fallbacks", 1)
+                    g = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
+                    c = _detect_board_host(g, pattern, scale)
+                    if c is None and scale > 1:
+                        # Full-res fallback from the retained host frame (rare).
+                        grey_full = np.asarray(chunk_host_frame, np.float32) @ np.array(
+                            [0.114, 0.587, 0.299], np.float32
+                        )
+                        c = _detect_board_host(grey_full.astype(np.uint8), pattern, 1)
             if c is None:
                 return None
             # Detectors flip the symmetric grid 180 degrees between frames;

@@ -60,6 +60,10 @@ class Metrics:
         self.counters[name] = value
         logger.info("%s = %s", name, value)
 
+    def add(self, name: str, value) -> None:
+        """Accumulating counter (``count`` overwrites)."""
+        self.counters[name] = self.counters.get(name, 0) + value
+
     def as_dict(self) -> Dict[str, Any]:
         return {"timings": dict(self.timings), "counters": dict(self.counters)}
 

@@ -100,6 +100,12 @@ class TestEndToEnd:
         assert result.metrics["counters"]["keyframes"] >= 3
         assert "bundle_adjustment" in result.metrics["timings"]
 
+    def test_device_board_detector_served(self, synthetic_run):
+        """Default detector mode is "auto": the on-device detector must have
+        handled every keyframe; any host-cv2 fallback is counted."""
+        result, _, _, _ = synthetic_run
+        assert result.metrics["counters"].get("board_detect_host_fallbacks", 0) == 0
+
 
 class TestFailurePaths:
     def test_no_board_raises_cleanly(self):
