@@ -27,6 +27,7 @@ def main(argv=None) -> int:
     parser.add_argument("--max-features", type=int, default=None, help="ORB feature budget per keyframe")
     parser.add_argument("--keyframe-threshold", type=float, default=None, help="keyframe accumulation threshold (reference default 0.1; smaller = denser)")
     parser.add_argument("--incremental", action="store_true", help="online BA after every keyframe (the reference's intended design)")
+    parser.add_argument("--detector", choices=("auto", "device", "host"), default=None, help="chessboard detector: on-device saddle+grid-fit, host cv2, or auto (device with host fallback)")
     parser.add_argument("--checkpoint-dir", default=None, help="persist per-stage artifacts; re-runs resume")
     parser.add_argument("--json", action="store_true", help="print metrics as JSON")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -58,6 +59,10 @@ def main(argv=None) -> int:
         )
     if args.incremental:
         config = dataclasses.replace(config, incremental_ba=True)
+    if args.detector:
+        config = dataclasses.replace(
+            config, chessboard=dataclasses.replace(config.chessboard, detector=args.detector)
+        )
 
     result = process(
         args.video, path=args.output, config=config, checkpoint_dir=args.checkpoint_dir

@@ -57,6 +57,7 @@ from meatmodeler_tpu.io import video as video_mod
 from meatmodeler_tpu.ops import board_detect, chessboard, clahe, features, klt, matching, orb
 from meatmodeler_tpu.solvers import bundle_adjust
 from meatmodeler_tpu.utils import Metrics
+from meatmodeler_tpu.utils import numerics
 from meatmodeler_tpu.utils.profiling import logger
 
 __all__ = ["ProcessResult", "process"]
@@ -573,6 +574,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             single_focal=config.chessboard.calib_single_focal,
         )
         metrics.count("calibration_rms_px", float(calib.rms))
+        numerics.check_finite("calibration", intrinsics=calib.intrinsics, dist=calib.dist)
 
     with metrics.stage("pose_estimation"):
         und_corners = jax.vmap(
@@ -599,6 +601,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             config=config.solver,
         )
         metrics.count("pose_ba_rmse_px", float(pose_ba_res.rmse))
+        numerics.check_finite("pose_ba", extrinsics=ext_refined)
         projections = projection.projection_from_extrinsic(calib.intrinsics, ext_refined)
 
     with metrics.stage("triangulation"):
@@ -735,6 +738,7 @@ def process(
             )
         metrics.count("ba_rmse_px", float(ba_res.rmse))
         metrics.count("ba_iterations", int(ba_res.iterations))
+        numerics.check_finite("bundle_adjustment", points=new_pts, extrinsics=new_ext)
         metrics.count("points", int(len(np.asarray(new_pts))))
         ckpt.save(
             "cloud",
