@@ -118,6 +118,13 @@ class TrackConfig:
 
     max_tracks: int = 16384
     max_keyframes: int = 128
+    # Minimum triangulation (parallax) angle in degrees between the two
+    # endpoint rays. The reference triangulates every popped track
+    # (processor.py:254-261); near-zero-baseline pairs have unbounded depth
+    # noise that reprojection gating cannot see (depth errors barely move
+    # the reprojection at small parallax) and inflate the hull volume
+    # cubically. 0 disables.
+    min_parallax_deg: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -629,6 +629,20 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         resid = jnp.where(store.obs_mask, resid, 0.0)
         max_resid = jnp.max(resid, axis=1)
         inlier = max_resid < 4.0
+        # Minimum-parallax gate: at near-zero baseline the depth is
+        # unconstrained while the reprojection stays small, so the residual
+        # gate above cannot catch these — they are the points that blow up
+        # the hull volume.
+        min_par = config.tracks.min_parallax_deg
+        if min_par > 0:
+            rot = ext_refined[:, :3, :3]
+            centers = -jnp.einsum("fij,fi->fj", rot, ext_refined[:, :3, 3])  # (F, 3)
+            r1 = pts3d - centers[first_kf]
+            r2 = pts3d - centers[last_kf]
+            cosang = jnp.sum(r1 * r2, axis=1) / jnp.maximum(
+                jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1), 1e-12
+            )
+            inlier &= cosang < jnp.cos(jnp.deg2rad(min_par))
         store = store._replace(points=jnp.where(finite[:, None], pts3d, 0.0))
         tri_valid = tri_valid & finite & inlier
         metrics.count("triangulated", int(np.asarray(tri_valid).sum()))
