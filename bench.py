@@ -47,7 +47,7 @@ def load_or_render_clip() -> np.ndarray:
     from meatmodeler_tpu.io.synthetic import render_sequence
 
     print(f"rendering {N_FRAMES}-frame {SIZE[0]}x{SIZE[1]} clip (cached after)...", file=sys.stderr)
-    frames, _, _ = render_sequence(get_scene(), N_FRAMES, seed=0)
+    frames, _, _ = render_sequence(get_scene(), N_FRAMES, seed=0, backend="jax")
     np.save(clip_path, frames)
     return frames
 

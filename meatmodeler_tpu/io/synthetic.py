@@ -177,8 +177,15 @@ def render_sequence(
     num_frames: int,
     seed: int = 0,
     color: bool = True,
+    backend: str = "numpy",
 ):
     """Render the turntable sequence.
+
+    Args:
+      backend: "numpy" (reference implementation, bit-stable across runs) or
+        "jax" (same math batched over frames on the default JAX device —
+        ~orders faster for the 1080p benchmark clip; noise differs in bit
+        pattern, not distribution).
 
     Returns:
       frames: (T, H, W, 3) uint8 BGR (or (T, H, W) grey if color=False),
@@ -191,30 +198,141 @@ def render_sequence(
     board = scene.board_corners_3d()
     k = scene.intrinsics
 
-    frames, poses, corners = [], [], []
+    rots, tvecs, poses, corners = [], [], [], []
     for i in range(num_frames):
         t = i / max(num_frames - 1, 1)
         rot, tvec = camera_pose(scene, t)
-        grey = _render_frame(scene, rot, tvec, rng)
-        if color:
-            # Mild channel tinting so the BGR->LAB->CLAHE path is exercised.
-            frame = np.stack(
-                [
-                    np.clip(grey * 0.96 + 4, 0, 255),
-                    np.clip(grey * 1.0, 0, 255),
-                    np.clip(grey * 1.03, 0, 255),
-                ],
-                axis=-1,
-            ).astype(np.uint8)
-        else:
-            frame = grey.astype(np.uint8)
-        frames.append(frame)
-
+        rots.append(rot)
+        tvecs.append(tvec)
         rvec = np.asarray(so3.log(rot))
         poses.append(np.concatenate([rvec, tvec]))
-
         cam = (rot @ board.T).T + tvec
         proj = (k @ cam.T).T
         corners.append(proj[:, :2] / proj[:, 2:3])
 
-    return np.stack(frames), np.stack(poses), np.stack(corners)
+    if backend == "jax":
+        frames = _render_frames_jax(scene, np.stack(rots), np.stack(tvecs), seed, color)
+    else:
+        frames = []
+        for rot, tvec in zip(rots, tvecs):
+            grey = _render_frame(scene, rot, tvec, rng)
+            frames.append(_tint(grey) if color else grey.astype(np.uint8))
+        frames = np.stack(frames)
+
+    return frames, np.stack(poses), np.stack(corners)
+
+
+def _tint(grey: np.ndarray) -> np.ndarray:
+    """Mild channel tinting so the BGR->LAB->CLAHE path is exercised."""
+    return np.stack(
+        [
+            np.clip(grey * 0.96 + 4, 0, 255),
+            np.clip(grey * 1.0, 0, 255),
+            np.clip(grey * 1.03, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _render_frames_jax(
+    scene: TurntableScene, rots: np.ndarray, tvecs: np.ndarray, seed: int, color: bool
+) -> np.ndarray:
+    """The same ray tracer as ``_render_frame``, batched over frames in JAX.
+
+    One jitted program renders a frame chunk on the default device; the
+    300-frame 1080p benchmark clip renders in seconds instead of the better
+    part of an hour of single-core NumPy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    w, h = scene.image_size
+    k = scene.intrinsics
+    s = scene.side_length
+    px, py = scene.pattern
+    c = jnp.asarray(scene.ellipsoid_center, jnp.float32)
+    ax = jnp.asarray(scene.ellipsoid_axes, jnp.float32)
+
+    xs = (np.arange(w) - k[0, 2]) / k[0, 0]
+    ys = (np.arange(h) - k[1, 2]) / k[1, 1]
+    dirs_cam = np.stack(
+        [np.tile(xs, (h, 1)), np.tile(ys[:, None], (1, w)), np.ones((h, w))], axis=-1
+    ).astype(np.float32)
+    dirs_cam_j = jnp.asarray(dirs_cam)
+
+    def render_one(rot, tvec, noise):
+        dirs = dirs_cam_j @ rot  # R^T d per pixel
+        origin = -rot.T @ tvec
+
+        img = jnp.full((h, w), 135.0, jnp.float32)
+        depth = jnp.full((h, w), jnp.inf, jnp.float32)
+
+        # --- chessboard plane y = 0 ---
+        dy = dirs[..., 1]
+        tt = jnp.where(jnp.abs(dy) > 1e-9, -origin[1] / dy, jnp.inf)
+        hit = tt > 0.1
+        pu = origin[0] + tt * dirs[..., 0]
+        pv = origin[2] + tt * dirs[..., 2]
+        iu = jnp.floor(pu / s + 1.0)
+        iv = jnp.floor(pv / s + 1.0)
+        in_board = (pu >= -s) & (pu <= px * s) & (pv >= -s) & (pv <= py * s)
+        in_apron = (
+            (pu >= -2.2 * s) & (pu <= (px + 1.2) * s) & (pv >= -2.2 * s) & (pv <= (py + 1.2) * s)
+        )
+        checker = jnp.where((iu + iv) % 2 == 0, 235.0, 20.0)
+        color_v = jnp.where(in_board, checker, 235.0)
+        plane_ok = hit & (in_board | in_apron)
+        img = jnp.where(plane_ok & (tt < depth), color_v, img)
+        depth = jnp.where(plane_ok, jnp.minimum(depth, tt), depth)
+
+        # --- ellipsoid ---
+        oc = (origin - c) / ax
+        d_s = dirs / ax
+        a_q = jnp.sum(d_s * d_s, axis=-1)
+        b_q = 2.0 * jnp.sum(d_s * oc, axis=-1)
+        c_q = jnp.sum(oc * oc) - 1.0
+        disc = b_q * b_q - 4 * a_q * c_q
+        t_hit = jnp.where(disc >= 0, (-b_q - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2 * a_q), jnp.inf)
+        ell_ok = (t_hit > 0.1) & (t_hit < depth)
+
+        t_safe = jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
+        p_hit = origin + t_safe[..., None] * dirs
+        n = (p_hit - c) / (ax * ax)
+        n_norm = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        light = np.array([0.4, -0.8, 0.45])
+        light = jnp.asarray(light / np.linalg.norm(light), jnp.float32)
+        lam = jnp.clip(jnp.einsum("...i,i", n_norm, -light), 0.35, 1.0)
+        tex = (
+            150
+            + 55 * jnp.sin(7.0 * p_hit[..., 0]) * jnp.cos(6.0 * p_hit[..., 2])
+            + 45 * jnp.sin(9.0 * p_hit[..., 1] + 2.0 * p_hit[..., 0])
+        )
+        img = jnp.where(ell_ok, jnp.clip(tex * lam, 15, 250), img)
+
+        grey = jnp.clip(img + scene.noise_sigma * noise, 0, 255)
+        if color:
+            return jnp.stack(
+                [
+                    jnp.clip(grey * 0.96 + 4, 0, 255),
+                    grey,
+                    jnp.clip(grey * 1.03, 0, 255),
+                ],
+                axis=-1,
+            ).astype(jnp.uint8)
+        return grey.astype(jnp.uint8)
+
+    chunk = max(1, min(16, int(2e8 // (h * w * 4))))
+    run = jax.jit(jax.vmap(render_one))
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for i in range(0, len(rots), chunk):
+        r = jnp.asarray(rots[i : i + chunk], jnp.float32)
+        t = jnp.asarray(tvecs[i : i + chunk], jnp.float32)
+        n_pad = chunk - len(r)
+        if n_pad:
+            r = jnp.concatenate([r, jnp.repeat(r[-1:], n_pad, 0)])
+            t = jnp.concatenate([t, jnp.repeat(t[-1:], n_pad, 0)])
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, (chunk, h, w), jnp.float32) if scene.noise_sigma > 0 else jnp.zeros((chunk, h, w), jnp.float32)
+        out.append(np.asarray(run(r, t, noise))[: len(rots[i : i + chunk])])
+    return np.concatenate(out)

@@ -52,6 +52,7 @@ from meatmodeler_tpu import tracks as tracks_mod
 from meatmodeler_tpu import volume as volume_mod
 from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from meatmodeler_tpu.geometry import calibration, distortion, pnp, projection, triangulation
+from meatmodeler_tpu.io import native_ops
 from meatmodeler_tpu.io import ply as ply_mod
 from meatmodeler_tpu.io import video as video_mod
 from meatmodeler_tpu.ops import board_detect, chessboard, clahe, features, klt, matching, orb
@@ -187,13 +188,17 @@ def _enhanced_grey_batch(bgr_chunk):
 
 @jax.jit
 def _clahe_grey_batch(grey_chunk):
-    """CLAHE directly on grey frames — pass 1's cheap path.
+    """CLAHE on uploaded grey frames — pass 1's transfer-optimal path.
 
     Pass 1 only needs enhanced greys for the keyframe DECISION and coarse
-    board detection; converting BGR->grey on the host and shipping one byte
-    per pixel cuts the dominant host->device traffic 3x. (Keyframes are
-    re-processed at full resolution through the exact reference path,
-    CLAHE-on-LAB-L then grey — enhance_contrast_bgr — in pass 2.)"""
+    board detection. The host->device link burst-throttles on sustained
+    volume (measured: ~GB/s for the first couple of GB, then two-to-three
+    orders slower), so the stream ships ONE uint8 byte per downscaled pixel:
+    the BGR->grey decimation runs on host in native C++
+    (``io/native_ops.bgr_to_grey_down`` — NumPy is ~200x slower on a weak
+    host core, and shipping raw BGR is 12x the bytes). Keyframes are
+    re-processed at full resolution through the exact reference path
+    (CLAHE-on-LAB-L then grey — ``enhance_contrast_bgr``) in pass 2."""
     return clahe.clahe(grey_chunk.astype(jnp.float32)).astype(jnp.float32)
 
 
@@ -329,10 +334,10 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                     c = _detect_board_host(g, pattern, scale)
                     if c is None and scale > 1:
                         # Full-res fallback from the retained host frame (rare).
-                        grey_full = np.asarray(chunk_host_frame, np.float32) @ np.array(
-                            [0.114, 0.587, 0.299], np.float32
-                        )
-                        c = _detect_board_host(grey_full.astype(np.uint8), pattern, 1)
+                        grey_full = native_ops.bgr_to_grey_down(
+                            np.asarray(chunk_host_frame)[None], 1
+                        )[0]
+                        c = _detect_board_host(grey_full, pattern, 1)
             if c is None:
                 return None
             # Detectors flip the symmetric grid 180 degrees between frames;
@@ -350,7 +355,8 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 if c is not None:  # boardless keyframes dropped (processor.py:369-371)
                     # Upload the full-res keyframe NOW: the link is idle
                     # while the detector runs, and pass 2 then starts with
-                    # everything already device-resident.
+                    # everything already device-resident. Only keyframes
+                    # ship at full resolution (the link burst-throttles).
                     kf_frames.append(jax.device_put(np.ascontiguousarray(chunk_host[i])))
                     kf_corners.append(c)
             logger.debug(
@@ -377,13 +383,12 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], config.frame_chunk - real_len, axis=0)]
                 )
-            small = chunk[:, ::scale, ::scale] if scale > 1 else chunk
-            # Host-side BT.601 grey: ship (T, H, W) uint8 instead of BGR.
-            grey_host = (
-                small[..., 0] * np.float32(0.114)
-                + small[..., 1] * np.float32(0.587)
-                + small[..., 2] * np.float32(0.299)
-            ).astype(np.uint8)
+            # Native host BGR->grey decimation, then ship one byte per
+            # downscaled pixel (see _clahe_grey_batch for the link economics).
+            if chunk.ndim == 4:
+                grey_host = native_ops.bgr_to_grey_down(chunk, scale)
+            else:  # already-grey source
+                grey_host = chunk[:, ::scale, ::scale]
             greys = _clahe_grey_batch(jnp.asarray(grey_host))
 
             idx0 = frame_idx
@@ -494,12 +499,13 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
                     for i in range(0, len(frames_p), mb)
                 ]
             )[:n_kf]
-            ckpt.save(
-                "keyframes",
-                greys=np.asarray(kf_stack, np.float32),
-                corners=np.stack(kf_corners),
-                frames_total=frame_idx,
-            )
+            if ckpt.enabled:
+                ckpt.save(
+                    "keyframes",
+                    greys=np.asarray(kf_stack, np.float32),
+                    corners=np.stack(kf_corners),
+                    frames_total=frame_idx,
+                )
 
     # ---- PASS 2: batched keyframe processing ----
     with metrics.stage("pass2_orb"):
@@ -754,14 +760,15 @@ def process(
         metrics.count("ba_iterations", int(ba_res.iterations))
         numerics.check_finite("bundle_adjustment", points=new_pts, extrinsics=new_ext)
         metrics.count("points", int(len(np.asarray(new_pts))))
-        ckpt.save(
-            "cloud",
-            points=np.asarray(new_pts),
-            extrinsics=np.asarray(new_ext),
-            intrinsics=np.asarray(pre.intrinsics),
-            distortion=np.asarray(pre.dist),
-            rmse=float(ba_res.rmse),
-        )
+        if ckpt.enabled:
+            ckpt.save(
+                "cloud",
+                points=np.asarray(new_pts),
+                extrinsics=np.asarray(new_ext),
+                intrinsics=np.asarray(pre.intrinsics),
+                distortion=np.asarray(pre.dist),
+                rmse=float(ba_res.rmse),
+            )
 
     with metrics.stage("volume"):
         vol_hull, vol_carve, n_item = _estimate_volume(

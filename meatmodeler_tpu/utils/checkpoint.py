@@ -27,6 +27,13 @@ class StageCheckpointer:
         if self.dir:
             self.dir.mkdir(parents=True, exist_ok=True)
 
+    @property
+    def enabled(self) -> bool:
+        """Callers must gate ``save(...)`` on this: argument materialization
+        (``np.asarray`` of device arrays) costs a full device->host readback
+        even though ``save`` itself would no-op."""
+        return self.dir is not None
+
     def path(self, stage: str) -> Optional[Path]:
         return self.dir / f"{stage}.npz" if self.dir else None
 
