@@ -72,6 +72,10 @@ def bench_config():
         matcher=MatcherConfig(max_matches=2048),
         tracks=TrackConfig(max_tracks=8192, max_keyframes=64),
         frame_chunk=32,
+        # Keyframes ship as full-res grey (one byte/px): CLAHE on BT.601
+        # luma instead of LAB lightness — equivalent on this clip (tinted
+        # grey) and 3x fewer bytes over the burst-throttled link.
+        pass2_enhance="grey",
     )
 
 

@@ -149,11 +149,20 @@ class PipelineConfig:
     # keyframe pass.
     frame_chunk: int = 32
     # Pass-1 (keyframe selection) runs on frames downscaled by this integer
-    # factor; 0 = auto (2 when min(H, W) >= 720, else 1). The keyframe
-    # *decision* is scale-invariant (LK error and the threshold's width both
-    # scale linearly), while upload bytes and scan FLOPs drop by scale^2.
-    # Pass 2 always works on full-resolution keyframes.
+    # factor; 0 = auto (4 when min(H, W) >= 1060, 2 when >= 720, else 1).
+    # The keyframe *decision* is scale-invariant (LK error and the
+    # threshold's width both scale linearly), while upload bytes and scan
+    # FLOPs drop by scale^2. Pass 2 always works on full-res keyframes.
     pass1_downscale: int = 0
+    # Keyframe enhancement path for pass 2:
+    #   "bgr_lab" — the exact reference path (CLAHE on the LAB L channel of
+    #     the BGR keyframe, then grey; processor.py:12-26,314,357); keyframes
+    #     ship to the device as full-resolution BGR.
+    #   "grey" — CLAHE directly on the BT.601 grey (native host conversion);
+    #     keyframes ship at one byte per pixel — 3x fewer bytes over the
+    #     burst-throttled link, at the cost of an approximation: CLAHE on
+    #     luma instead of LAB lightness (equivalent for low-chroma content).
+    pass2_enhance: str = "bgr_lab"
     # Incremental (online) bundle adjustment: re-solve the BA after every
     # keyframe prefix instead of once globally — the reference's *intended*
     # design, left commented out at processor.py:395-408 (SURVEY.md §2.2).

@@ -314,8 +314,16 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
     with metrics.stage("pass1_keyframes"):
         carry = None
         frame_idx = 0  # global index of the next chunk's first frame
-        kf_frames = []  # DEVICE full-res BGR uint8 keyframe frames
+        kf_frames = []  # DEVICE full-res uint8 keyframes (BGR, or grey in "grey" mode)
         kf_corners = []  # detected board corners (full-res px) per keyframe
+
+        def retain_keyframe(frame_host):
+            """Upload one full-res keyframe; in "grey" pass-2 mode it ships
+            as one byte per pixel (native host conversion)."""
+            frame_host = np.asarray(frame_host)
+            if config.pass2_enhance == "grey" and frame_host.ndim == 3:
+                return jax.device_put(native_ops.bgr_to_grey_down(frame_host[None], 1)[0])
+            return jax.device_put(np.ascontiguousarray(frame_host))
 
         def detect(grey_dev, chunk_host_frame, global_idx):
             if known_corners is not None:
@@ -357,7 +365,7 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                     # while the detector runs, and pass 2 then starts with
                     # everything already device-resident. Only keyframes
                     # ship at full resolution (the link burst-throttles).
-                    kf_frames.append(jax.device_put(np.ascontiguousarray(chunk_host[i])))
+                    kf_frames.append(retain_keyframe(chunk_host[i]))
                     kf_corners.append(c)
             logger.debug(
                 "pass1 resolve@%d: sync %.3fs detect %.3fs (%d kf)",
@@ -375,8 +383,9 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
         futures = []
 
         for chunk in source.chunks(config.frame_chunk):
-            if scale == 0:  # auto: halve for >= 720p (resolve on first chunk)
-                scale = 2 if min(chunk.shape[1], chunk.shape[2]) >= 720 else 1
+            if scale == 0:  # auto (resolve on first chunk)
+                min_dim = min(chunk.shape[1], chunk.shape[2])
+                scale = 4 if min_dim >= 1060 else 2 if min_dim >= 720 else 1
             # Pad ragged chunks up front so every device op sees one shape.
             real_len = len(chunk)
             if real_len < config.frame_chunk:
@@ -402,7 +411,7 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                     c = detect(greys[i], chunk[i], idx0 + i)
                     if c is not None:
                         start = i
-                        kf_frames.append(jax.device_put(np.ascontiguousarray(chunk[i])))
+                        kf_frames.append(retain_keyframe(chunk[i]))
                         kf_corners.append(c)
                         break
                 if start is None:
@@ -493,9 +502,14 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             # detection worker while the link was otherwise idle).
             mb = _ORB_MINIBATCH
             frames_p = list(kf_frames) + [kf_frames[-1]] * ((-n_kf) % mb)
+            enhance = (
+                _clahe_grey_batch
+                if (config.pass2_enhance == "grey" or kf_frames[0].ndim == 2)
+                else _enhanced_grey_batch
+            )
             kf_stack = jnp.concatenate(
                 [
-                    _enhanced_grey_batch(jnp.stack(frames_p[i : i + mb]))
+                    enhance(jnp.stack(frames_p[i : i + mb]))
                     for i in range(0, len(frames_p), mb)
                 ]
             )[:n_kf]

@@ -117,6 +117,22 @@ class TestFailurePaths:
             process(frames, config=TEST_CONFIG)
 
 
+class TestGreyEnhanceMode:
+    def test_grey_keyframe_path_reconstructs(self, synthetic_run):
+        """pass2_enhance="grey" (keyframes shipped as 1-byte/px grey, CLAHE
+        on luma instead of LAB L) must reconstruct with comparable quality
+        to the exact reference path."""
+        result, _, _, _ = synthetic_run
+        frames, _, _ = render_sequence(SCENE, 40, seed=0)
+        cfg = dataclasses.replace(TEST_CONFIG, pass2_enhance="grey")
+        grey = process(frames, config=cfg)
+        assert grey.reprojection_rmse < max(1.5 * result.reprojection_rmse, 2.0)
+        assert len(grey.points) > 0.5 * len(result.points)
+        np.testing.assert_allclose(
+            grey.intrinsics[0, 0], result.intrinsics[0, 0], rtol=0.05
+        )
+
+
 class TestIncrementalBA:
     def test_matches_global_ba(self, synthetic_run):
         """Incremental (per-keyframe-prefix) BA must land where the global
