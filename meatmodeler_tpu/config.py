@@ -125,6 +125,12 @@ class TrackConfig:
     # the reprojection at small parallax) and inflate the hull volume
     # cubically. 0 disables.
     min_parallax_deg: float = 1.0
+    # Initial triangulation: "endpoints" uses each track's first+last
+    # observation (the reference's widest-baseline policy, track.py:30-32);
+    # "nview" solves the masked DLT over ALL of a track's observations (the
+    # reference only feeds middle observations to BA; here they can
+    # constrain the initialization too).
+    triangulation: str = "endpoints"
 
 
 @dataclasses.dataclass(frozen=True)

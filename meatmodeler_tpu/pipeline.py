@@ -631,9 +631,14 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         store = store._replace(coords=coords_und)
 
         first_kf, last_kf, first_xy, last_xy, tri_valid = tracks_mod.triangulation_endpoints(store)
-        pts3d = triangulation.triangulate_pairs(
-            projections[first_kf], projections[last_kf], first_xy, last_xy
-        )
+        if config.tracks.triangulation == "nview":
+            pts3d = triangulation.triangulate_nview(
+                projections, store.coords, store.obs_mask
+            )
+        else:
+            pts3d = triangulation.triangulate_pairs(
+                projections[first_kf], projections[last_kf], first_xy, last_xy
+            )
         # Outlier gating the reference lacks entirely: drop tracks whose
         # initial reprojection (triangulated point vs every observation)
         # exceeds a few pixels — mismatched ORB pairs would otherwise drag

@@ -133,6 +133,20 @@ class TestGreyEnhanceMode:
         )
 
 
+class TestNViewTriangulation:
+    def test_nview_init_reconstructs(self, synthetic_run):
+        """tracks.triangulation="nview" (masked DLT over ALL observations)
+        must match or beat the endpoints init after BA."""
+        result, _, _, _ = synthetic_run
+        frames, _, _ = render_sequence(SCENE, 40, seed=0)
+        cfg = dataclasses.replace(
+            TEST_CONFIG, tracks=dataclasses.replace(TEST_CONFIG.tracks, triangulation="nview")
+        )
+        nv = process(frames, config=cfg)
+        assert nv.reprojection_rmse < max(1.2 * result.reprojection_rmse, 2.0)
+        assert len(nv.points) > 0.7 * len(result.points)
+
+
 class TestIncrementalBA:
     def test_matches_global_ba(self, synthetic_run):
         """Incremental (per-keyframe-prefix) BA must land where the global
