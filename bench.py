@@ -70,7 +70,9 @@ def bench_config():
         keyframe=dataclasses.replace(KeyframeConfig(), threshold=0.05),
         orb=OrbConfig(num_features=4096, num_levels=4),
         matcher=MatcherConfig(max_matches=2048),
-        tracks=TrackConfig(max_tracks=8192, max_keyframes=64),
+        # nview: init from ALL observations — tighter cloud, better volume
+        # (+7% vs truth against +16% for the endpoints policy), same RMSE.
+        tracks=TrackConfig(max_tracks=8192, max_keyframes=64, triangulation="nview"),
         frame_chunk=32,
         # Keyframes ship as full-res grey (one byte/px): CLAHE on BT.601
         # luma instead of LAB lightness — equivalent on this clip (tinted

@@ -737,6 +737,19 @@ def process(
     ckpt = StageCheckpointer(checkpoint_dir)
 
     pre = _reconstruct_to_ba(video, config, known_corners, metrics, ckpt)
+    return _solve_and_finish(pre, config, metrics, ckpt, path)
+
+
+def _solve_and_finish(
+    pre: PreBA,
+    config: PipelineConfig,
+    metrics: Metrics,
+    ckpt,
+    path: Optional[str],
+) -> ProcessResult:
+    """Global BA + volume + PLY from a PreBA — the back half of ``process``
+    (split out so ``parallel.pipelined`` can run it as its own pipeline
+    stage on a different device)."""
     n_kf = pre.n_kf
     w, h = pre.image_size
 
