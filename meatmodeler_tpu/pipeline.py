@@ -559,17 +559,13 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
 
     with metrics.stage("pass2_tracks"):
         store = tracks_mod.make_store(config.tracks.max_tracks, max(n_kf, 2))
-        for k in range(n_kf - 1):
-            store = tracks_mod.update_tracks(
-                store,
-                jnp.asarray(k),
-                jnp.asarray(k + 1),
-                pair_matches.query_idx[k],
-                pair_matches.train_idx[k],
-                pair_matches.mask[k],
-                orb_batch.xy[k],
-                orb_batch.xy[k + 1],
-            )
+        store = tracks_mod.update_tracks_scan(
+            store,
+            pair_matches.query_idx,
+            pair_matches.train_idx,
+            pair_matches.mask,
+            orb_batch.xy,
+        )
         store = tracks_mod.finalize_tracks(store)
         metrics.count("tracks", int(np.asarray(store.used).sum()))
 

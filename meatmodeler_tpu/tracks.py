@@ -29,7 +29,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TrackStore", "make_store", "update_tracks", "finalize_tracks", "Track"]
+__all__ = [
+    "TrackStore",
+    "make_store",
+    "update_tracks",
+    "update_tracks_scan",
+    "finalize_tracks",
+    "Track",
+]
 
 
 class TrackStore(NamedTuple):
@@ -135,6 +142,30 @@ def update_tracks(
     last_feature_idx = last_feature_idx.at[tgt].set(match_train, mode="drop")
 
     return TrackStore(coords, obs_mask, alive, used, last_feature_idx, store.points)
+
+
+@jax.jit
+def update_tracks_scan(
+    store: TrackStore,
+    query_idx: jax.Array,  # (F-1, M) per-pair query feature indices
+    train_idx: jax.Array,  # (F-1, M)
+    match_mask: jax.Array,  # (F-1, M)
+    xy: jax.Array,  # (F, K, 2) per-keyframe keypoint positions
+) -> TrackStore:
+    """All consecutive-pair track updates in ONE compiled ``lax.scan``.
+
+    Identical state evolution to calling :func:`update_tracks` per pair (the
+    scan body IS that function); one dispatch instead of F-1 — the per-call
+    latency of a tunneled device dominates the update's actual compute.
+    """
+
+    def step(s, inp):
+        k, q, t, m = inp
+        return update_tracks(s, k, k + 1, q, t, m, xy[k], xy[k + 1]), None
+
+    ks = jnp.arange(query_idx.shape[0], dtype=jnp.int32)
+    s, _ = jax.lax.scan(step, store, (ks, query_idx, train_idx, match_mask))
+    return s
 
 
 def finalize_tracks(store: TrackStore) -> TrackStore:

@@ -152,3 +152,45 @@ class TestCompatView:
         assert len(views) == 1
         f1, f2, a, b = views[0].getTriangulationData()
         assert (f1, f2) == (0, 1)
+
+
+class TestUpdateTracksScan:
+    def test_scan_matches_per_pair_loop(self):
+        """update_tracks_scan (one compiled scan) must evolve the store
+        identically to calling update_tracks per keyframe pair."""
+        rng = np.random.default_rng(3)
+        n_kf, k_feats, m_cap = 6, 12, 10
+        xy = rng.uniform(0, 100, size=(n_kf, k_feats, 2)).astype(np.float32)
+        q = rng.integers(0, k_feats, size=(n_kf - 1, m_cap)).astype(np.int32)
+        t = rng.integers(0, k_feats, size=(n_kf - 1, m_cap)).astype(np.int32)
+        mask = rng.random(size=(n_kf - 1, m_cap)) < 0.6
+        # distinct query indices per pair (a feature matches at most once)
+        for k in range(n_kf - 1):
+            _, first = np.unique(q[k], return_index=True)
+            keep = np.zeros(m_cap, bool)
+            keep[first] = True
+            mask[k] &= keep
+
+        loop = tr.make_store(32, n_kf)
+        for k in range(n_kf - 1):
+            loop = tr.update_tracks(
+                loop,
+                jnp.asarray(k),
+                jnp.asarray(k + 1),
+                jnp.asarray(q[k]),
+                jnp.asarray(t[k]),
+                jnp.asarray(mask[k]),
+                jnp.asarray(xy[k]),
+                jnp.asarray(xy[k + 1]),
+            )
+        scan = tr.update_tracks_scan(
+            tr.make_store(32, n_kf),
+            jnp.asarray(q),
+            jnp.asarray(t),
+            jnp.asarray(mask),
+            jnp.asarray(xy),
+        )
+        for name in tr.TrackStore._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(loop, name)), np.asarray(getattr(scan, name)), err_msg=name
+            )
