@@ -20,6 +20,13 @@ import dataclasses
 from typing import Tuple
 
 
+def _check_choice(name: str, value: str, choices: Tuple[str, ...]) -> None:
+    """A typo'd string knob must fail loudly at config construction, not
+    silently fall through an if/elif chain stages later."""
+    if value not in choices:
+        raise ValueError(f"{name} must be one of {choices}, got {value!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class ClaheConfig:
     """CLAHE contrast enhancement (``processor.py:22``)."""
@@ -90,6 +97,9 @@ class ChessboardConfig:
     detector: str = "auto"
     detect_candidates: int = 24  # saddle candidates kept for grid assignment
     detect_tol: float = 3.0  # px gate between projected grid and candidates
+
+    def __post_init__(self):
+        _check_choice("chessboard.detector", self.detector, ("auto", "device", "host"))
     # Calibration constraints. The reference runs full cv2.calibrateCamera
     # (processor.py:49-53), which is degenerate for its own tiny (4, 3)
     # board on turntable orbits (cv2 returns garbage focals there too); the
@@ -132,6 +142,9 @@ class TrackConfig:
     # constrain the initialization too).
     triangulation: str = "endpoints"
 
+    def __post_init__(self):
+        _check_choice("tracks.triangulation", self.triangulation, ("endpoints", "nview"))
+
 
 @dataclasses.dataclass(frozen=True)
 class VolumeConfig:
@@ -169,6 +182,9 @@ class PipelineConfig:
     #     burst-throttled link, at the cost of an approximation: CLAHE on
     #     luma instead of LAB lightness (equivalent for low-chroma content).
     pass2_enhance: str = "bgr_lab"
+
+    def __post_init__(self):
+        _check_choice("pass2_enhance", self.pass2_enhance, ("bgr_lab", "grey"))
     # Incremental (online) bundle adjustment: re-solve the BA after every
     # keyframe prefix instead of once globally — the reference's *intended*
     # design, left commented out at processor.py:395-408 (SURVEY.md §2.2).

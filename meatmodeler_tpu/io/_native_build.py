@@ -1,0 +1,56 @@
+"""Shared lazy g++ build-and-load for first-party native libraries.
+
+Both native components (the y4m loader and the preprocessing ops) follow
+the same contract: compile ``native/<name>.cpp`` with g++ on first use,
+cache the ``.so`` next to the package, rebuild when the source is newer,
+and degrade to a pure-Python fallback when no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+
+class NativeLib:
+    """Lazy-built ctypes library handle with a one-shot failure latch."""
+
+    def __init__(
+        self,
+        src: Path,
+        lib_path: Path,
+        configure: Callable,
+        extra_flags: Sequence[str] = (),
+    ):
+        self._src = src
+        self._lib_path = lib_path
+        self._configure = configure
+        self._extra_flags = list(extra_flags)
+        self._lib = None
+        self._failed = False
+
+    def load(self):
+        """Return the configured CDLL, or None if the build/load failed."""
+        import ctypes
+
+        if self._lib is not None or self._failed:
+            return self._lib
+        try:
+            stale = not self._lib_path.exists() or (
+                self._src.exists()
+                and self._src.stat().st_mtime > self._lib_path.stat().st_mtime
+            )
+            if stale:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", *self._extra_flags,
+                     "-o", str(self._lib_path), str(self._src)],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(str(self._lib_path))
+            self._configure(lib, ctypes)
+            self._lib = lib
+        except Exception:
+            self._failed = True
+        return self._lib

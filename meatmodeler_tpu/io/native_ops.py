@@ -10,47 +10,35 @@ one byte per (downscaled) pixel crosses the host->device link.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 
+from meatmodeler_tpu.io._native_build import NativeLib
+
 __all__ = ["bgr_to_grey_down", "native_available"]
 
-_NATIVE_SRC = Path(__file__).resolve().parents[2] / "native" / "preprocess.cpp"
-_NATIVE_LIB = Path(__file__).resolve().parent / "_libpreprocess.so"
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
+
+def _configure(lib, ct):
+    lib.bgr_grey_down.argtypes = [
+        ct.POINTER(ct.c_uint8),
+        ct.POINTER(ct.c_uint8),
+        ct.c_long,
+        ct.c_long,
+        ct.c_long,
+        ct.c_long,
+    ]
 
 
-def _load_native() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_failed
-    if _lib is not None or _lib_failed:
-        return _lib
-    try:
-        if not _NATIVE_LIB.exists() or (
-            _NATIVE_SRC.exists()
-            and _NATIVE_SRC.stat().st_mtime > _NATIVE_LIB.stat().st_mtime
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(_NATIVE_LIB), str(_NATIVE_SRC)],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(str(_NATIVE_LIB))
-        lib.bgr_grey_down.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.c_long,
-        ]
-        _lib = lib
-    except Exception:
-        _lib_failed = True
-    return _lib
+_native = NativeLib(
+    src=Path(__file__).resolve().parents[2] / "native" / "preprocess.cpp",
+    lib_path=Path(__file__).resolve().parent / "_libpreprocess.so",
+    configure=_configure,
+)
+
+
+def _load_native():
+    return _native.load()
 
 
 def native_available() -> bool:

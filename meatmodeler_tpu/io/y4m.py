@@ -13,54 +13,35 @@ without a toolchain silently fall back to the NumPy path.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
+from meatmodeler_tpu.io import _native_build
+
 __all__ = ["read_y4m", "write_y4m", "native_available"]
 
 _NATIVE_SRC = Path(__file__).resolve().parents[2] / "native" / "y4m_loader.cpp"
 _NATIVE_LIB = Path(__file__).resolve().parent / "_liby4m.so"
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
+
+
+def _configure(lib, ct):
+    lib.y4m_open.restype = ct.c_void_p
+    lib.y4m_open.argtypes = [ct.c_char_p]
+    lib.y4m_width.argtypes = [ct.c_void_p]
+    lib.y4m_height.argtypes = [ct.c_void_p]
+    lib.y4m_next.argtypes = [ct.c_void_p, ct.POINTER(ct.c_uint8)]
+    lib.y4m_close.argtypes = [ct.c_void_p]
+
+
+_native = _native_build.NativeLib(
+    src=_NATIVE_SRC, lib_path=_NATIVE_LIB, configure=_configure, extra_flags=("-pthread",)
+)
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_failed
-    if _lib is not None or _lib_failed:
-        return _lib
-    try:
-        if not _NATIVE_LIB.exists() or (
-            _NATIVE_SRC.exists()
-            and _NATIVE_SRC.stat().st_mtime > _NATIVE_LIB.stat().st_mtime
-        ):
-            subprocess.run(
-                [
-                    "g++",
-                    "-O3",
-                    "-shared",
-                    "-fPIC",
-                    "-pthread",
-                    "-o",
-                    str(_NATIVE_LIB),
-                    str(_NATIVE_SRC),
-                ],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(str(_NATIVE_LIB))
-        lib.y4m_open.restype = ctypes.c_void_p
-        lib.y4m_open.argtypes = [ctypes.c_char_p]
-        lib.y4m_width.argtypes = [ctypes.c_void_p]
-        lib.y4m_height.argtypes = [ctypes.c_void_p]
-        lib.y4m_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
-        lib.y4m_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-    except Exception:
-        _lib_failed = True
-    return _lib
+    return _native.load()
 
 
 def native_available() -> bool:

@@ -187,6 +187,14 @@ def find_chessboard_device(
     """
     cols, rows = pattern
     g = cols * rows
+    if max_candidates < g:
+        raise ValueError(
+            f"max_candidates={max_candidates} cannot cover the {g}-corner pattern"
+        )
+    # Hypothesis corners index into the candidate arrays; more hypothesis
+    # slots than candidates would be silently clamped by JAX gathers into
+    # degenerate coincident-point tuples.
+    hyp_candidates = min(hyp_candidates, max_candidates)
     cand = saddle_candidates(grey, max_candidates=max_candidates, nms_window=nms_window)
     inv_dom, grid = _grid_constants(pattern)
     inv_dom = jnp.asarray(inv_dom, jnp.float32)

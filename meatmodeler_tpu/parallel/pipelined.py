@@ -109,6 +109,12 @@ def process_batch_pipelined(
                     )
         except BaseException as e:
             errors.append(e)
+            # Keep draining so the ingest producer never blocks on a full
+            # queue after this stage has died (bounded queue = deadlock
+            # otherwise); remaining videos are dropped, the first error is
+            # re-raised on the caller's thread.
+            while handoff.get() is not None:
+                pass
 
     t_solve = threading.Thread(target=solve_worker)
     t_solve.start()

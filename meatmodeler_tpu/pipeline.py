@@ -302,9 +302,10 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
     itself on device (see ``_make_keyframe_scan``), so the only host feedback
     is board detection — which lags one chunk behind without affecting the
     scan. Pass-1 frames are downscaled by ``config.pass1_downscale`` (auto:
-    2x for >=720p); keyframes keep their full-res host BGR frames for pass 2.
+    4x for >=1080p, 2x for >=720p); keyframes upload at full resolution for
+    pass 2 (BGR, or native-converted grey in ``pass2_enhance="grey"`` mode).
 
-    Returns (kf_frames_host, kf_corners, frames_total).
+    Returns (kf_frames DEVICE arrays, kf_corners, frames_total).
     """
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
@@ -317,13 +318,19 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
         kf_frames = []  # DEVICE full-res uint8 keyframes (BGR, or grey in "grey" mode)
         kf_corners = []  # detected board corners (full-res px) per keyframe
 
+        # The caller's default device, captured HERE: uploads below may run
+        # on the detection worker thread, and jax.default_device is
+        # thread-local — without pinning, a pipelined ingest stage's
+        # keyframes would land on the wrong device and re-transfer later.
+        target_device = jax.default_device.value
+
         def retain_keyframe(frame_host):
             """Upload one full-res keyframe; in "grey" pass-2 mode it ships
             as one byte per pixel (native host conversion)."""
             frame_host = np.asarray(frame_host)
             if config.pass2_enhance == "grey" and frame_host.ndim == 3:
-                return jax.device_put(native_ops.bgr_to_grey_down(frame_host[None], 1)[0])
-            return jax.device_put(np.ascontiguousarray(frame_host))
+                frame_host = native_ops.bgr_to_grey_down(frame_host[None], 1)[0]
+            return jax.device_put(np.ascontiguousarray(frame_host), target_device)
 
         def detect(grey_dev, chunk_host_frame, global_idx):
             if known_corners is not None:
@@ -335,17 +342,24 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 c = None
                 if mode in ("device", "auto"):
                     c = _detect_board_device(grey_dev, pattern, scale, config.chessboard)
+                device_missed = c is None and mode == "auto"
                 if c is None and mode in ("host", "auto"):
-                    if mode == "auto":
-                        metrics.add("board_detect_host_fallbacks", 1)
                     g = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
                     c = _detect_board_host(g, pattern, scale)
                     if c is None and scale > 1:
                         # Full-res fallback from the retained host frame (rare).
-                        grey_full = native_ops.bgr_to_grey_down(
-                            np.asarray(chunk_host_frame)[None], 1
-                        )[0]
+                        frame = np.asarray(chunk_host_frame)
+                        grey_full = (
+                            native_ops.bgr_to_grey_down(frame[None], 1)[0]
+                            if frame.ndim == 3
+                            else frame
+                        )
                         c = _detect_board_host(grey_full, pattern, 1)
+                if device_missed and c is not None:
+                    # Count only genuine device-detector misses: the host
+                    # found a board the device did not (board-free frames
+                    # are not fallbacks — both detectors agree there).
+                    metrics.add("board_detect_host_fallbacks", 1)
             if c is None:
                 return None
             # Detectors flip the symmetric grid 180 degrees between frames;

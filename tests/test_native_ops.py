@@ -35,7 +35,6 @@ def test_numpy_fallback_matches_native(monkeypatch):
     rng = np.random.default_rng(1)
     frames = rng.integers(0, 256, size=(2, 32, 48, 3), dtype=np.uint8)
     native = native_ops.bgr_to_grey_down(frames, 2)
-    monkeypatch.setattr(native_ops, "_lib", None)
-    monkeypatch.setattr(native_ops, "_lib_failed", True)
+    monkeypatch.setattr(native_ops, "_load_native", lambda: None)
     fallback = native_ops.bgr_to_grey_down(frames, 2)
     np.testing.assert_array_equal(native, fallback)

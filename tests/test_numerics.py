@@ -54,3 +54,16 @@ def test_checked_through_scan():
 
     with pytest.raises(checkify.JaxRuntimeError):
         f(-jnp.ones(4))
+
+
+def test_config_choice_validation():
+    import dataclasses
+    import pytest
+    from meatmodeler_tpu.config import ChessboardConfig, PipelineConfig, TrackConfig
+
+    with pytest.raises(ValueError, match="detector"):
+        ChessboardConfig(detector="cv2")
+    with pytest.raises(ValueError, match="triangulation"):
+        TrackConfig(triangulation="n-view")
+    with pytest.raises(ValueError, match="pass2_enhance"):
+        PipelineConfig(pass2_enhance="gray")

@@ -57,3 +57,17 @@ def test_pipelined_propagates_errors():
     boardless = rng.integers(0, 255, size=(10, 120, 160, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="chessboard"):
         process_batch_pipelined([boardless], config=CFG)
+
+
+def test_solve_stage_error_does_not_deadlock(clips, monkeypatch):
+    """A solve-stage failure must re-raise promptly, not deadlock the
+    bounded handoff queue while ingest keeps producing (queue_depth=1 with
+    3 videos exercises the backpressure path)."""
+    from meatmodeler_tpu.parallel import pipelined as pl
+
+    def boom(*a, **k):
+        raise RuntimeError("solver exploded")
+
+    monkeypatch.setattr(pl, "_solve_and_finish", boom)
+    with pytest.raises(RuntimeError, match="solver exploded"):
+        pl.process_batch_pipelined(clips, config=CFG, queue_depth=1)
