@@ -135,12 +135,13 @@ class TrackConfig:
     # the reprojection at small parallax) and inflate the hull volume
     # cubically. 0 disables.
     min_parallax_deg: float = 1.0
-    # Initial triangulation: "endpoints" uses each track's first+last
-    # observation (the reference's widest-baseline policy, track.py:30-32);
-    # "nview" solves the masked DLT over ALL of a track's observations (the
-    # reference only feeds middle observations to BA; here they can
-    # constrain the initialization too).
-    triangulation: str = "endpoints"
+    # Initial triangulation: "nview" (default) solves the masked DLT over
+    # ALL of a track's observations; "endpoints" reproduces the reference's
+    # first+last widest-baseline policy (track.py:30-32), which feeds middle
+    # observations only to BA. nview measures equal reprojection RMSE with
+    # several-fold smaller volume error on noisy/dense-keyframe regimes
+    # (middle observations constrain the initialization's depth).
+    triangulation: str = "nview"
 
     def __post_init__(self):
         _check_choice("tracks.triangulation", self.triangulation, ("endpoints", "nview"))
@@ -152,6 +153,11 @@ class VolumeConfig:
 
     voxel_resolution: int = 128
     carve_dilation: int = 5  # pixels of dilation around projected points
+    # Exclude points whose octave sigma (scale_factor**octave px) exceeds
+    # this from the volume estimators — hull/carve are set by extreme
+    # points, and coarse-pyramid detections carry multi-px position noise
+    # that inflates volumes cubically. 0 disables the gate.
+    max_point_sigma: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -98,6 +98,7 @@ def process_batch(
             frame_idx=jnp.asarray(_pad_to(np.asarray(pre.fidx, np.int32), o_max)),
             point_idx=jnp.asarray(_pad_to(np.asarray(pre.pidx, np.int32), o_max)),
             mask=jnp.arange(o_max) < n_obs,
+            weight=jnp.asarray(_pad_to(np.asarray(pre.obs_weight, np.float32), o_max)),
         )
 
     problems = [problem(p) for p in pres]
@@ -137,6 +138,7 @@ def process_batch(
             pre.n_kf,
             pre.image_size,
             config,
+            point_sigma=pre.point_sigma,
         )
         metrics.count("item_points", n_item)
 

@@ -98,6 +98,7 @@ def solve_ba_batch(
         frame_idx=P("data"),
         point_idx=P("data"),
         mask=P("data"),
+        weight=None if problems.weight is None else P("data"),
     )
     out_spec = bundle_adjust.BAResult(
         cam_params=P("data"),

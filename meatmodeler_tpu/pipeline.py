@@ -470,6 +470,8 @@ class PreBA(NamedTuple):
     obs: np.ndarray  # (O, 2) undistorted observations
     fidx: np.ndarray  # (O,) frame indices
     pidx: np.ndarray  # (O,) point indices
+    obs_weight: np.ndarray  # (O,) inverse-octave-sigma BA weights
+    point_sigma: np.ndarray  # (P,) per-point octave sigma (px at level 0)
     n_kf: int
     image_size: Tuple[int, int]  # (w, h)
     frames_total: int
@@ -579,6 +581,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             pair_matches.train_idx,
             pair_matches.mask,
             orb_batch.xy,
+            orb_batch.octave,
         )
         store = tracks_mod.finalize_tracks(store)
         metrics.count("tracks", int(np.asarray(store.used).sum()))
@@ -663,7 +666,11 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         resid = jnp.linalg.norm(proj_all - store.coords, axis=-1)
         resid = jnp.where(store.obs_mask, resid, 0.0)
         max_resid = jnp.max(resid, axis=1)
-        inlier = max_resid < 4.0
+        # Scale-aware gate: a keypoint detected at pyramid octave o carries
+        # ~scale_factor**o px of positional uncertainty, so its legitimate
+        # residual is proportionally larger (ORB-SLAM's per-octave sigma).
+        track_sigma = jnp.float32(config.orb.scale_factor) ** store.octave.astype(jnp.float32)
+        inlier = max_resid < 4.0 * track_sigma
         # Minimum-parallax gate: at near-zero baseline the depth is
         # unconstrained while the reprojection stays small, so the residual
         # gate above cannot catch these — they are the points that blow up
@@ -687,8 +694,11 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
 
     points, obs, fidx, pidx, track_ids = tracks_mod.to_ba_arrays(store)
     tri_valid_np = np.asarray(tri_valid)[track_ids]
+    sigma_np = np.asarray(track_sigma)[track_ids]  # per-point octave sigma
     obs_keep = tri_valid_np[pidx]
+    obs_weight = (1.0 / sigma_np[pidx])[obs_keep].astype(np.float32)
     points = points[tri_valid_np]
+    point_sigma = sigma_np[tri_valid_np].astype(np.float32)
     # Reindex after filtering.
     remap = -np.ones(len(tri_valid_np), np.int32)
     remap[np.nonzero(tri_valid_np)[0]] = np.arange(tri_valid_np.sum(), dtype=np.int32)
@@ -702,6 +712,8 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         obs=obs,
         fidx=fidx,
         pidx=pidx,
+        obs_weight=obs_weight,
+        point_sigma=point_sigma,
         n_kf=n_kf,
         image_size=(int(w), int(h)),
         frames_total=frame_idx,
@@ -782,6 +794,7 @@ def _solve_and_finish(
                     pre.fidx,
                     pre.pidx,
                     mask=fidx_j < k,
+                    weights=pre.obs_weight,
                     config=config.solver,
                 )
                 ext_cur = ext4[:, :3, :]
@@ -796,6 +809,7 @@ def _solve_and_finish(
                 pre.obs,
                 pre.fidx,
                 pre.pidx,
+                weights=pre.obs_weight,
                 config=config.solver,
             )
         metrics.count("ba_rmse_px", float(ba_res.rmse))
@@ -814,7 +828,8 @@ def _solve_and_finish(
 
     with metrics.stage("volume"):
         vol_hull, vol_carve, n_item = _estimate_volume(
-            jnp.asarray(new_pts), pre.intrinsics, jnp.asarray(new_ext), n_kf, (w, h), config
+            jnp.asarray(new_pts), pre.intrinsics, jnp.asarray(new_ext), n_kf, (w, h), config,
+            point_sigma=pre.point_sigma,
         )
         metrics.count("item_points", n_item)
         metrics.count("volume_hull", vol_hull)
@@ -838,10 +853,20 @@ def _solve_and_finish(
     )
 
 
-def _estimate_volume(pts_j, intrinsics, ext4, n_kf, image_size, config):
-    """Hull + carved volume of the item points; NaNs when too few points."""
+def _estimate_volume(pts_j, intrinsics, ext4, n_kf, image_size, config, point_sigma=None):
+    """Hull + carved volume of the item points; NaNs when too few points.
+
+    ``point_sigma``: per-point positional uncertainty (octave sigma). The
+    hull/carve estimators are set entirely by extreme points, so
+    coarse-octave points (uncertainty of several px -> large depth noise)
+    are excluded from the volume point set — they still served pose/BA.
+    """
     w, h = image_size
     pmask = jnp.ones(pts_j.shape[0], bool)
+    if point_sigma is not None and config.volume.max_point_sigma > 0:
+        precise = jnp.asarray(point_sigma) <= config.volume.max_point_sigma
+        # Fall back to all points if the precise subset is too thin.
+        pmask = jnp.where(jnp.sum(precise) >= 32, precise, pmask)
     item_mask = volume_mod.split_item_points(pts_j, pmask)
     have_item = bool(np.asarray(item_mask).sum() >= 8)
     if have_item:

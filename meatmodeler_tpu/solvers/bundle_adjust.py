@@ -52,6 +52,12 @@ class BAProblem(NamedTuple):
     frame_idx: jax.Array  # (N,) int32
     point_idx: jax.Array  # (N,) int32
     mask: jax.Array  # (N,) bool — False entries are padding
+    # Optional per-observation weights (N,): residuals scale by w, so w is
+    # 1/sigma for inverse-variance weighting (ORB-SLAM style: a keypoint
+    # detected at pyramid octave o has sigma ~ scale_factor**o px of
+    # positional uncertainty and should pull the solution correspondingly
+    # less). None = unweighted.
+    weight: Optional[jax.Array] = None
 
 
 class BAResult(NamedTuple):
@@ -62,12 +68,15 @@ class BAResult(NamedTuple):
     iterations: jax.Array  # LM iterations taken
 
 
-def _residuals(cam_params, points, intrinsics, obs, fidx, pidx, mask):
+def _residuals(cam_params, points, intrinsics, obs, fidx, pidx, mask, weight=None):
     proj = projection.project_points(points[pidx], cam_params[fidx], intrinsics)
-    return (proj - obs) * mask[:, None]
+    r = (proj - obs) * mask[:, None]
+    if weight is not None:
+        r = r * weight[:, None]
+    return r
 
 
-def _obs_jacobians(cam_params, points, intrinsics, obs, fidx, pidx, mask):
+def _obs_jacobians(cam_params, points, intrinsics, obs, fidx, pidx, mask, weight=None):
     """Per-observation residual Jacobians: (N,2,6) wrt camera, (N,2,3) wrt point."""
 
     def one(cam, pt, ob):
@@ -81,6 +90,8 @@ def _obs_jacobians(cam_params, points, intrinsics, obs, fidx, pidx, mask):
 
     jc, jp = jax.vmap(one)(cam_params[fidx], points[pidx], obs)
     m = mask[:, None, None]
+    if weight is not None:
+        m = m * weight[:, None, None]
     return jc * m, jp * m
 
 
@@ -160,7 +171,10 @@ def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r):
 
 
 def _cost(problem, cam, pts):
-    r = _residuals(cam, pts, problem.intrinsics, problem.obs, problem.frame_idx, problem.point_idx, problem.mask)
+    r = _residuals(
+        cam, pts, problem.intrinsics, problem.obs,
+        problem.frame_idx, problem.point_idx, problem.mask, problem.weight,
+    )
     return 0.5 * jnp.sum(r * r)
 
 
@@ -195,14 +209,21 @@ def solve_ba(
         points=problem.points.astype(dtype),
         intrinsics=problem.intrinsics.astype(dtype),
         obs=problem.obs.astype(dtype),
+        weight=None if problem.weight is None else problem.weight.astype(dtype),
     )
 
     n_valid = jnp.maximum(jnp.sum(problem.mask), 1)
 
     def body(state):
         cam, pts, lam, cost, it, _ = state
-        r = _residuals(cam, pts, problem.intrinsics, problem.obs, problem.frame_idx, problem.point_idx, problem.mask)
-        jc, jp = _obs_jacobians(cam, pts, problem.intrinsics, problem.obs, problem.frame_idx, problem.point_idx, problem.mask)
+        r = _residuals(
+            cam, pts, problem.intrinsics, problem.obs,
+            problem.frame_idx, problem.point_idx, problem.mask, problem.weight,
+        )
+        jc, jp = _obs_jacobians(
+            cam, pts, problem.intrinsics, problem.obs,
+            problem.frame_idx, problem.point_idx, problem.mask, problem.weight,
+        )
         if fix_points:
             jp = jnp.zeros_like(jp)
 
@@ -255,7 +276,13 @@ def solve_ba(
         jnp.array(False),
     )
     cam, pts, _, cost, iters, _ = jax.lax.while_loop(cond, body, init)
-    rmse = jnp.sqrt(2.0 * cost / n_valid)
+    # Report the UNWEIGHTED pixel RMSE regardless of observation weighting
+    # (the comparable metric across weighted and unweighted solves).
+    r_px = _residuals(
+        cam, pts, problem.intrinsics, problem.obs,
+        problem.frame_idx, problem.point_idx, problem.mask,
+    )
+    rmse = jnp.sqrt(jnp.sum(r_px * r_px) / n_valid)
     return BAResult(cam, pts, cost, rmse, iters)
 
 
@@ -272,6 +299,7 @@ def adjust_points(
     frame_indices,
     point_indices,
     mask: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
 ) -> Tuple[jax.Array, jax.Array, BAResult]:
     """Full bundle adjustment over cameras and points.
@@ -299,6 +327,7 @@ def adjust_points(
         frame_idx=frame_indices,
         point_idx=point_indices,
         mask=mask,
+        weight=None if weights is None else jnp.asarray(weights),
     )
     result = solve_ba(problem, config=config)
     new_ext = projection.extrinsics_from_params(result.cam_params, homogeneous=True)

@@ -23,7 +23,7 @@ compatibility.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,10 @@ class TrackStore(NamedTuple):
     used: jax.Array  # (T,) bool — slot allocated at some point
     last_feature_idx: jax.Array  # (T,) int32 — keypoint index in the latest keyframe
     points: jax.Array  # (T, 3) float32 triangulated points (filled later)
+    # Coarsest pyramid octave among the track's observations: positional
+    # uncertainty ~ scale_factor**octave px (drives scale-aware outlier
+    # gates and inverse-variance BA weights).
+    octave: jax.Array  # (T,) int32
 
     @property
     def capacity(self):
@@ -64,6 +68,7 @@ def make_store(max_tracks: int, max_keyframes: int) -> TrackStore:
         used=jnp.zeros(max_tracks, bool),
         last_feature_idx=jnp.full(max_tracks, -1, jnp.int32),
         points=jnp.zeros((max_tracks, 3), jnp.float32),
+        octave=jnp.zeros(max_tracks, jnp.int32),
     )
 
 
@@ -77,6 +82,8 @@ def update_tracks(
     match_mask: jax.Array,  # (M,) bool
     prev_xy: jax.Array,  # (K, 2) previous keyframe keypoint positions
     curr_xy: jax.Array,  # (K, 2) current keyframe keypoint positions
+    prev_octave: Optional[jax.Array] = None,  # (K,) int32 pyramid octave
+    curr_octave: Optional[jax.Array] = None,  # (K,) int32
 ) -> TrackStore:
     """One keyframe step of ``pointTracking`` (``processor.py:190-243``).
 
@@ -87,6 +94,10 @@ def update_tracks(
     t_cap = store.capacity
     n_feats = prev_xy.shape[0]
     m_cap = match_query.shape[0]
+    if prev_octave is None:
+        prev_octave = jnp.zeros(n_feats, jnp.int32)
+    if curr_octave is None:
+        curr_octave = jnp.zeros(curr_xy.shape[0], jnp.int32)
 
     # feature index in prev keyframe -> match row (or -1). Masked rows
     # scatter to an out-of-bounds index, which drop-mode discards.
@@ -112,6 +123,8 @@ def update_tracks(
     )
     alive = extended  # non-extended live tracks are popped
     last_feature_idx = jnp.where(extended, new_train, store.last_feature_idx)
+    new_oct = jnp.take(curr_octave, jnp.clip(new_train, 0, curr_octave.shape[0] - 1))
+    octave = jnp.where(extended, jnp.maximum(store.octave, new_oct), store.octave)
 
     # --- which matches were consumed by an extension? ---
     consumed = jnp.zeros(m_cap, bool).at[jnp.where(extended, m_row, m_cap)].set(
@@ -140,8 +153,13 @@ def update_tracks(
     alive = alive.at[tgt].set(True, mode="drop")
     used = store.used.at[tgt].set(True, mode="drop")
     last_feature_idx = last_feature_idx.at[tgt].set(match_train, mode="drop")
+    birth_oct = jnp.maximum(
+        jnp.take(prev_octave, jnp.clip(match_query, 0, n_feats - 1)),
+        jnp.take(curr_octave, jnp.clip(match_train, 0, curr_octave.shape[0] - 1)),
+    )
+    octave = octave.at[tgt].set(birth_oct, mode="drop")
 
-    return TrackStore(coords, obs_mask, alive, used, last_feature_idx, store.points)
+    return TrackStore(coords, obs_mask, alive, used, last_feature_idx, store.points, octave)
 
 
 @jax.jit
@@ -151,6 +169,7 @@ def update_tracks_scan(
     train_idx: jax.Array,  # (F-1, M)
     match_mask: jax.Array,  # (F-1, M)
     xy: jax.Array,  # (F, K, 2) per-keyframe keypoint positions
+    octave: Optional[jax.Array] = None,  # (F, K) per-keypoint pyramid octave
 ) -> TrackStore:
     """All consecutive-pair track updates in ONE compiled ``lax.scan``.
 
@@ -158,10 +177,14 @@ def update_tracks_scan(
     scan body IS that function); one dispatch instead of F-1 — the per-call
     latency of a tunneled device dominates the update's actual compute.
     """
+    if octave is None:
+        octave = jnp.zeros(xy.shape[:2], jnp.int32)
 
     def step(s, inp):
         k, q, t, m = inp
-        return update_tracks(s, k, k + 1, q, t, m, xy[k], xy[k + 1]), None
+        return update_tracks(
+            s, k, k + 1, q, t, m, xy[k], xy[k + 1], octave[k], octave[k + 1]
+        ), None
 
     ks = jnp.arange(query_idx.shape[0], dtype=jnp.int32)
     s, _ = jax.lax.scan(step, store, (ks, query_idx, train_idx, match_mask))

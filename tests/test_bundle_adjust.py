@@ -202,3 +202,36 @@ class TestAdjustPose:
             )
         )
         np.testing.assert_allclose(refined, cams, atol=1e-5)
+
+
+class TestObservationWeights:
+    def test_weights_downweight_noisy_observations(self):
+        """Inverse-sigma weighting must pull the solution toward the precise
+        observations: with half the observations 8x noisier, the weighted
+        solve recovers the ground-truth points better than the unweighted."""
+        import numpy as np
+        from meatmodeler_tpu.geometry import projection
+        from meatmodeler_tpu.solvers import bundle_adjust
+
+        rng = np.random.default_rng(0)
+        k = np.array([[300.0, 0, 64], [0, 300.0, 48], [0, 0, 1]])
+        pts = rng.normal(size=(60, 3)) * 2.0
+        cams = np.hstack([rng.normal(size=(5, 3)) * 0.05, rng.normal(size=(5, 3))])
+        cams[:, 5] += 12
+        fidx = np.repeat(np.arange(5), 60).astype(np.int32)
+        pidx = np.tile(np.arange(60), 5).astype(np.int32)
+        clean = np.asarray(projection.project_points(pts[pidx], cams[fidx], k))
+        coarse = rng.random(len(fidx)) < 0.5
+        sigma = np.where(coarse, 4.0, 0.5)
+        obs = clean + rng.normal(size=clean.shape) * sigma[:, None]
+
+        def solve(weights):
+            p, _, res = bundle_adjust.adjust_points(
+                projection.extrinsics_from_params(cams + rng.normal(size=cams.shape) * 0.002),
+                k, pts + 0.05, obs, fidx, pidx, weights=weights,
+            )
+            return np.asarray(p)
+
+        err_unw = np.linalg.norm(solve(None) - pts, axis=1).mean()
+        err_w = np.linalg.norm(solve((1.0 / sigma).astype(np.float32)) - pts, axis=1).mean()
+        assert err_w < 0.8 * err_unw, (err_w, err_unw)

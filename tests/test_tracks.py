@@ -194,3 +194,29 @@ class TestUpdateTracksScan:
             np.testing.assert_array_equal(
                 np.asarray(getattr(loop, name)), np.asarray(getattr(scan, name)), err_msg=name
             )
+
+
+class TestOctavePropagation:
+    def test_octave_max_over_observations(self):
+        """A track's octave is the coarsest of its observations: set at
+        birth from both endpoints, raised (never lowered) on extension."""
+        store = tr.make_store(8, 4)
+        xy = np.zeros((3, 4, 2), np.float32)
+        oct_per_kf = np.array([[0, 1, 2, 0], [3, 0, 1, 0], [0, 5, 0, 0]], np.int32)
+
+        def one(store, k, pairs):
+            q = np.zeros(4, np.int32); t = np.zeros(4, np.int32); m = np.zeros(4, bool)
+            for i, (qi, ti) in enumerate(pairs):
+                q[i], t[i], m[i] = qi, ti, True
+            return tr.update_tracks(
+                store, jnp.asarray(k), jnp.asarray(k + 1),
+                jnp.asarray(q), jnp.asarray(t), jnp.asarray(m),
+                jnp.asarray(xy[k]), jnp.asarray(xy[k + 1]),
+                jnp.asarray(oct_per_kf[k]), jnp.asarray(oct_per_kf[k + 1]),
+            )
+
+        store = one(store, 0, [(1, 0), (2, 2)])  # births: max(1,3)=3, max(2,1)=2
+        used = np.asarray(store.used)
+        assert sorted(np.asarray(store.octave)[used].tolist()) == [2, 3]
+        store = one(store, 1, [(0, 1)])  # extends track with last_feat 0 -> oct max(3,5)=5
+        assert np.asarray(store.octave)[np.asarray(store.alive)].tolist() == [5]
