@@ -20,11 +20,14 @@ def main(argv=None) -> int:
         prog="meatmodeler",
         description="TPU-native SfM: turntable video -> point cloud + volume",
     )
-    parser.add_argument("video", help="video file, .npy frame stack, or .y4m")
-    parser.add_argument("-o", "--output", default="out", help="output prefix (writes <prefix>Cloud.ply)")
+    parser.add_argument("video", nargs="+", help="video file(s): container, .npy frame stack, or .y4m; several videos reconstruct as a batch")
+    parser.add_argument("-o", "--output", default="out", help="output prefix (writes <prefix>Cloud.ply; batches append _0, _1, ...)")
+    parser.add_argument("--schedule", choices=("mesh", "pipelined", "sequential"), default="mesh", help="multi-video schedule: per-core BA solves over the device mesh, two-stage cross-device pipeline, or one at a time")
     parser.add_argument("--pattern", type=int, nargs=2, default=None, metavar=("W", "H"), help="chessboard inner corners")
     parser.add_argument("--side-length", type=float, default=None, help="board square size (world units)")
     parser.add_argument("--max-features", type=int, default=None, help="ORB feature budget per keyframe")
+    parser.add_argument("--max-tracks", type=int, default=None, help="track-store capacity")
+    parser.add_argument("--max-keyframes", type=int, default=None, help="keyframe capacity")
     parser.add_argument("--keyframe-threshold", type=float, default=None, help="keyframe accumulation threshold (reference default 0.1; smaller = denser)")
     parser.add_argument("--incremental", action="store_true", help="online BA after every keyframe (the reference's intended design)")
     parser.add_argument("--detector", choices=("auto", "device", "host"), default=None, help="chessboard detector: on-device saddle+grid-fit, host cv2, or auto (device with host fallback)")
@@ -57,6 +60,13 @@ def main(argv=None) -> int:
         config = dataclasses.replace(
             config, keyframe=dataclasses.replace(config.keyframe, threshold=args.keyframe_threshold)
         )
+    if args.max_tracks or args.max_keyframes:
+        tr = config.tracks
+        if args.max_tracks:
+            tr = dataclasses.replace(tr, max_tracks=args.max_tracks)
+        if args.max_keyframes:
+            tr = dataclasses.replace(tr, max_keyframes=args.max_keyframes)
+        config = dataclasses.replace(config, tracks=tr)
     if args.incremental:
         config = dataclasses.replace(config, incremental_ba=True)
     if args.detector:
@@ -64,32 +74,58 @@ def main(argv=None) -> int:
             config, chessboard=dataclasses.replace(config.chessboard, detector=args.detector)
         )
 
-    result = process(
-        args.video, path=args.output, config=config, checkpoint_dir=args.checkpoint_dir
-    )
-
-    if args.json:
-        print(
-            json.dumps(
-                {
-                    "points": int(len(result.points)),
-                    "keyframes": int(len(result.extrinsics)),
-                    "volume": result.volume,
-                    "volume_carved": result.volume_carved,
-                    "reprojection_rmse": result.reprojection_rmse,
-                    "ply": result.ply_path,
-                    **result.metrics,
-                }
+    if len(args.video) == 1:
+        results = [
+            process(
+                args.video[0], path=args.output, config=config,
+                checkpoint_dir=args.checkpoint_dir,
             )
-        )
+        ]
     else:
-        print(f"keyframes:          {len(result.extrinsics)}")
-        print(f"points:             {len(result.points)}")
-        print(f"reprojection RMSE:  {result.reprojection_rmse:.3f} px")
-        print(f"volume (hull):      {result.volume:.3f}")
-        print(f"volume (carved):    {result.volume_carved:.3f}")
-        if result.ply_path:
-            print(f"cloud written to:   {result.ply_path}")
+        paths = [f"{args.output}_{i}" for i in range(len(args.video))]
+        if args.schedule == "pipelined":
+            from meatmodeler_tpu.parallel.pipelined import process_batch_pipelined
+
+            results = process_batch_pipelined(args.video, config=config, paths=paths)
+        elif args.schedule == "mesh":
+            import jax
+
+            from meatmodeler_tpu.parallel import sharded
+            from meatmodeler_tpu.parallel.batch import process_batch
+
+            n = len(jax.devices())
+            mesh = sharded.make_mesh(data=n, model=1) if n > 1 else None
+            results = process_batch(args.video, config=config, mesh=mesh, paths=paths)
+        else:
+            results = [
+                process(v, path=p, config=config) for v, p in zip(args.video, paths)
+            ]
+    if args.json:
+        payloads = [
+            {
+                "video": v,
+                "points": int(len(r.points)),
+                "keyframes": int(len(r.extrinsics)),
+                "volume": r.volume,
+                "volume_carved": r.volume_carved,
+                "reprojection_rmse": r.reprojection_rmse,
+                "ply": r.ply_path,
+                **r.metrics,
+            }
+            for v, r in zip(args.video, results)
+        ]
+        print(json.dumps(payloads[0] if len(payloads) == 1 else payloads))
+    else:
+        for v, result in zip(args.video, results):
+            if len(results) > 1:
+                print(f"--- {v}")
+            print(f"keyframes:          {len(result.extrinsics)}")
+            print(f"points:             {len(result.points)}")
+            print(f"reprojection RMSE:  {result.reprojection_rmse:.3f} px")
+            print(f"volume (hull):      {result.volume:.3f}")
+            print(f"volume (carved):    {result.volume_carved:.3f}")
+            if result.ply_path:
+                print(f"cloud written to:   {result.ply_path}")
     return 0
 
 

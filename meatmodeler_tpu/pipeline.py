@@ -752,14 +752,16 @@ def process(
       never returned (``processor.py:303``).
     """
     from meatmodeler_tpu.utils.checkpoint import StageCheckpointer
+    from meatmodeler_tpu.utils.profiling import profile_run
 
     del flann_params  # exact MXU matching needs no FLANN tuning
     config = _config_from_param_dicts(config, lk_params, feature_params)
     metrics = Metrics()
     ckpt = StageCheckpointer(checkpoint_dir)
 
-    pre = _reconstruct_to_ba(video, config, known_corners, metrics, ckpt)
-    return _solve_and_finish(pre, config, metrics, ckpt, path)
+    with profile_run():  # MEATMODELER_PROFILE=<dir> captures an XProf trace
+        pre = _reconstruct_to_ba(video, config, known_corners, metrics, ckpt)
+        return _solve_and_finish(pre, config, metrics, ckpt, path)
 
 
 def _solve_and_finish(

@@ -75,3 +75,23 @@ def trace(name: str):
 
     with jax.named_scope(name), jax.profiler.TraceAnnotation(name):
         yield
+
+
+@contextlib.contextmanager
+def profile_run():
+    """Capture a full XProf/Perfetto device trace of the enclosed run when
+    ``MEATMODELER_PROFILE=<dir>`` is set (view with xprof/tensorboard or
+    ui.perfetto.dev). The per-stage ``trace`` annotations above become
+    named slices inside the capture. No-op otherwise."""
+    out_dir = os.environ.get("MEATMODELER_PROFILE")
+    if not out_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(out_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", out_dir)
