@@ -44,31 +44,38 @@ def main(argv=None) -> int:
     from meatmodeler_tpu.pipeline import process
 
     config = DEFAULT_CONFIG
-    if args.pattern:
+    if args.pattern is not None:
         config = dataclasses.replace(
             config, chessboard=dataclasses.replace(config.chessboard, pattern=tuple(args.pattern))
         )
-    if args.side_length:
+    if args.side_length is not None:
         config = dataclasses.replace(
             config, chessboard=dataclasses.replace(config.chessboard, side_length=args.side_length)
         )
-    if args.max_features:
+    if args.max_features is not None:
         config = dataclasses.replace(
             config, orb=dataclasses.replace(config.orb, num_features=args.max_features)
         )
-    if args.keyframe_threshold:
+    if args.keyframe_threshold is not None:
         config = dataclasses.replace(
             config, keyframe=dataclasses.replace(config.keyframe, threshold=args.keyframe_threshold)
         )
-    if args.max_tracks or args.max_keyframes:
+    if args.max_tracks is not None or args.max_keyframes is not None:
         tr = config.tracks
-        if args.max_tracks:
+        if args.max_tracks is not None:
             tr = dataclasses.replace(tr, max_tracks=args.max_tracks)
-        if args.max_keyframes:
+        if args.max_keyframes is not None:
             tr = dataclasses.replace(tr, max_keyframes=args.max_keyframes)
         config = dataclasses.replace(config, tracks=tr)
     if args.incremental:
         config = dataclasses.replace(config, incremental_ba=True)
+        if len(args.video) > 1 and args.schedule != "sequential":
+            print(
+                "note: --incremental requires the sequential schedule for "
+                "multi-video input; switching to --schedule sequential",
+                file=sys.stderr,
+            )
+            args.schedule = "sequential"
     if args.detector:
         config = dataclasses.replace(
             config, chessboard=dataclasses.replace(config.chessboard, detector=args.detector)
@@ -83,6 +90,13 @@ def main(argv=None) -> int:
         ]
     else:
         paths = [f"{args.output}_{i}" for i in range(len(args.video))]
+        if args.checkpoint_dir and args.schedule != "sequential":
+            print(
+                "note: --checkpoint-dir requires the sequential schedule for "
+                "multi-video input; switching to --schedule sequential",
+                file=sys.stderr,
+            )
+            args.schedule = "sequential"
         if args.schedule == "pipelined":
             from meatmodeler_tpu.parallel.pipelined import process_batch_pipelined
 
@@ -93,12 +107,18 @@ def main(argv=None) -> int:
             from meatmodeler_tpu.parallel import sharded
             from meatmodeler_tpu.parallel.batch import process_batch
 
-            n = len(jax.devices())
-            mesh = sharded.make_mesh(data=n, model=1) if n > 1 else None
+            # Size the data axis to the batch: a full-device mesh would pad
+            # the batch up to the device count with redundant solves.
+            data = min(len(jax.devices()), len(args.video))
+            mesh = sharded.make_mesh(data=data, model=1) if data > 1 else None
             results = process_batch(args.video, config=config, mesh=mesh, paths=paths)
         else:
             results = [
-                process(v, path=p, config=config) for v, p in zip(args.video, paths)
+                process(
+                    v, path=p, config=config,
+                    checkpoint_dir=f"{args.checkpoint_dir}_{i}" if args.checkpoint_dir else None,
+                )
+                for i, (v, p) in enumerate(zip(args.video, paths))
             ]
     if args.json:
         payloads = [

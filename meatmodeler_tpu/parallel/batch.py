@@ -75,6 +75,14 @@ def process_batch(
         known_corners if known_corners is not None else [None] * n_videos
     )
 
+    from meatmodeler_tpu.utils.profiling import profile_run
+
+    with profile_run():  # MEATMODELER_PROFILE=<dir> captures the whole batch
+        return _process_batch_inner(videos, config, mesh, paths, known_corners)
+
+
+def _process_batch_inner(videos, config, mesh, paths, known_corners):
+    n_videos = len(videos)
     # ---- per-video host-driven phases (decode, keyframes, features) ----
     metrics_list = [Metrics() for _ in range(n_videos)]
     pres = [

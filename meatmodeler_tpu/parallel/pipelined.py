@@ -116,10 +116,13 @@ def process_batch_pipelined(
             while handoff.get() is not None:
                 pass
 
-    t_solve = threading.Thread(target=solve_worker)
-    t_solve.start()
-    ingest_worker()
-    t_solve.join()
+    from meatmodeler_tpu.utils.profiling import profile_run
+
+    with profile_run():  # MEATMODELER_PROFILE=<dir> captures both stages
+        t_solve = threading.Thread(target=solve_worker)
+        t_solve.start()
+        ingest_worker()
+        t_solve.join()
     if errors:
         raise errors[0]
     assert all(r is not None for r in results)

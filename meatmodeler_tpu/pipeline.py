@@ -507,6 +507,12 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             f"only {n_kf} keyframes with a visible chessboard; need >= 3 "
             "(check the video shows the calibration target)"
         )
+    if n_kf > config.tracks.max_keyframes:
+        raise ValueError(
+            f"{n_kf} keyframes exceed tracks.max_keyframes="
+            f"{config.tracks.max_keyframes}; raise the capacity or the "
+            "keyframe threshold"
+        )
 
     if kf_stack is None:
         # Upload the full-res keyframe BGR frames, then the exact reference
@@ -664,13 +670,13 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             calib.intrinsics,
         )  # (T, F, 2)
         resid = jnp.linalg.norm(proj_all - store.coords, axis=-1)
-        resid = jnp.where(store.obs_mask, resid, 0.0)
-        max_resid = jnp.max(resid, axis=1)
         # Scale-aware gate: a keypoint detected at pyramid octave o carries
         # ~scale_factor**o px of positional uncertainty, so its legitimate
-        # residual is proportionally larger (ORB-SLAM's per-octave sigma).
-        track_sigma = jnp.float32(config.orb.scale_factor) ** store.octave.astype(jnp.float32)
-        inlier = max_resid < 4.0 * track_sigma
+        # residual is proportionally larger (ORB-SLAM's per-octave sigma) —
+        # applied per OBSERVATION, each against its own detection octave.
+        sigma_obs = jnp.float32(config.orb.scale_factor) ** store.octaves.astype(jnp.float32)
+        resid_norm = jnp.where(store.obs_mask, resid / sigma_obs, 0.0)
+        inlier = jnp.max(resid_norm, axis=1) < 4.0
         # Minimum-parallax gate: at near-zero baseline the depth is
         # unconstrained while the reprojection stays small, so the residual
         # gate above cannot catch these — they are the points that blow up
@@ -692,13 +698,18 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             "outlier_tracks_dropped", int(np.asarray(finite & ~inlier).sum())
         )
 
-    points, obs, fidx, pidx, track_ids = tracks_mod.to_ba_arrays(store)
+    points, obs, fidx, pidx, track_ids, obs_octave = tracks_mod.to_ba_arrays(store)
     tri_valid_np = np.asarray(tri_valid)[track_ids]
-    sigma_np = np.asarray(track_sigma)[track_ids]  # per-point octave sigma
     obs_keep = tri_valid_np[pidx]
-    obs_weight = (1.0 / sigma_np[pidx])[obs_keep].astype(np.float32)
+    obs_sigma = np.float32(config.orb.scale_factor) ** obs_octave.astype(np.float32)
+    obs_weight = (1.0 / obs_sigma)[obs_keep].astype(np.float32)
     points = points[tri_valid_np]
-    point_sigma = sigma_np[tri_valid_np].astype(np.float32)
+    # Per-point sigma for the volume gate: the track's MEAN observation
+    # sigma (its typical, not worst-case, measurement precision).
+    n_per = np.bincount(pidx, minlength=len(tri_valid_np))
+    sum_per = np.bincount(pidx, weights=obs_sigma, minlength=len(tri_valid_np))
+    sigma_mean = np.where(n_per > 0, sum_per / np.maximum(n_per, 1), np.inf)
+    point_sigma = sigma_mean[tri_valid_np].astype(np.float32)
     # Reindex after filtering.
     remap = -np.ones(len(tri_valid_np), np.int32)
     remap[np.nonzero(tri_valid_np)[0]] = np.arange(tri_valid_np.sum(), dtype=np.int32)

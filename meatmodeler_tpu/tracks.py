@@ -46,10 +46,10 @@ class TrackStore(NamedTuple):
     used: jax.Array  # (T,) bool — slot allocated at some point
     last_feature_idx: jax.Array  # (T,) int32 — keypoint index in the latest keyframe
     points: jax.Array  # (T, 3) float32 triangulated points (filled later)
-    # Coarsest pyramid octave among the track's observations: positional
-    # uncertainty ~ scale_factor**octave px (drives scale-aware outlier
-    # gates and inverse-variance BA weights).
-    octave: jax.Array  # (T,) int32
+    # Pyramid octave of each observation (meaningful where obs_mask is set):
+    # positional uncertainty ~ scale_factor**octave px (drives scale-aware
+    # outlier gates and per-observation inverse-variance BA weights).
+    octaves: jax.Array  # (T, F) int32
 
     @property
     def capacity(self):
@@ -68,7 +68,7 @@ def make_store(max_tracks: int, max_keyframes: int) -> TrackStore:
         used=jnp.zeros(max_tracks, bool),
         last_feature_idx=jnp.full(max_tracks, -1, jnp.int32),
         points=jnp.zeros((max_tracks, 3), jnp.float32),
-        octave=jnp.zeros(max_tracks, jnp.int32),
+        octaves=jnp.zeros((max_tracks, max_keyframes), jnp.int32),
     )
 
 
@@ -124,7 +124,9 @@ def update_tracks(
     alive = extended  # non-extended live tracks are popped
     last_feature_idx = jnp.where(extended, new_train, store.last_feature_idx)
     new_oct = jnp.take(curr_octave, jnp.clip(new_train, 0, curr_octave.shape[0] - 1))
-    octave = jnp.where(extended, jnp.maximum(store.octave, new_oct), store.octave)
+    octaves = store.octaves.at[:, kf_id].set(
+        jnp.where(extended, new_oct, store.octaves[:, kf_id])
+    )
 
     # --- which matches were consumed by an extension? ---
     consumed = jnp.zeros(m_cap, bool).at[jnp.where(extended, m_row, m_cap)].set(
@@ -153,13 +155,12 @@ def update_tracks(
     alive = alive.at[tgt].set(True, mode="drop")
     used = store.used.at[tgt].set(True, mode="drop")
     last_feature_idx = last_feature_idx.at[tgt].set(match_train, mode="drop")
-    birth_oct = jnp.maximum(
-        jnp.take(prev_octave, jnp.clip(match_query, 0, n_feats - 1)),
-        jnp.take(curr_octave, jnp.clip(match_train, 0, curr_octave.shape[0] - 1)),
-    )
-    octave = octave.at[tgt].set(birth_oct, mode="drop")
+    q_oct = jnp.take(prev_octave, jnp.clip(match_query, 0, n_feats - 1))
+    t_oct = jnp.take(curr_octave, jnp.clip(match_train, 0, curr_octave.shape[0] - 1))
+    octaves = octaves.at[tgt, prev_kf_id].set(q_oct, mode="drop")
+    octaves = octaves.at[tgt, kf_id].set(t_oct, mode="drop")
 
-    return TrackStore(coords, obs_mask, alive, used, last_feature_idx, store.points, octave)
+    return TrackStore(coords, obs_mask, alive, used, last_feature_idx, store.points, octaves)
 
 
 @jax.jit
@@ -217,13 +218,15 @@ def to_ba_arrays(store: TrackStore):
     """Flatten the store into the BA observation lists (host-side, NumPy) —
     the role of ``managePoints`` (``processor.py:264-291``).
 
-    Returns (points (P,3), obs (N,2), frame_idx (N,), point_idx (N,)) over
-    tracks with >= 2 observations, in track-major order like the reference.
+    Returns (points (P,3), obs (N,2), frame_idx (N,), point_idx (N,),
+    track_ids (P,), obs_octave (N,)) over tracks with >= 2 observations, in
+    track-major order like the reference.
     """
     coords = np.asarray(store.coords)
     obs_mask = np.asarray(store.obs_mask)
     used = np.asarray(store.used)
     pts = np.asarray(store.points)
+    octaves = np.asarray(store.octaves)
 
     n_obs = obs_mask.sum(1)
     keep = used & (n_obs >= 2)
@@ -232,7 +235,15 @@ def to_ba_arrays(store: TrackStore):
     points = pts[track_ids]
     t_idx, f_idx = np.nonzero(obs_mask[track_ids])
     obs = coords[track_ids][t_idx, f_idx]
-    return points, obs, f_idx.astype(np.int32), t_idx.astype(np.int32), track_ids
+    obs_octave = octaves[track_ids][t_idx, f_idx]
+    return (
+        points,
+        obs,
+        f_idx.astype(np.int32),
+        t_idx.astype(np.int32),
+        track_ids,
+        obs_octave.astype(np.int32),
+    )
 
 
 class Track:

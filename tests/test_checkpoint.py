@@ -40,7 +40,7 @@ class TestStageCheckpointer:
             keyframe=dataclasses.replace(KeyframeConfig(), max_corners=128, threshold=0.02),
             orb=OrbConfig(num_features=512, num_levels=2),
             matcher=MatcherConfig(max_matches=256),
-            tracks=TrackConfig(max_tracks=1024, max_keyframes=16),
+            tracks=TrackConfig(max_tracks=1024, max_keyframes=32),
             volume=VolumeConfig(voxel_resolution=32),
             frame_chunk=8,
         )

@@ -117,6 +117,16 @@ class TestFailurePaths:
             process(frames, config=TEST_CONFIG)
 
 
+class TestCapacityGuard:
+    def test_keyframe_overflow_raises_described_error(self):
+        frames, _, _ = render_sequence(SCENE, 30, seed=0)
+        cfg = dataclasses.replace(
+            TEST_CONFIG, tracks=dataclasses.replace(TEST_CONFIG.tracks, max_keyframes=4)
+        )
+        with pytest.raises(ValueError, match="max_keyframes"):
+            process(frames, config=cfg)
+
+
 class TestGreyEnhanceMode:
     def test_grey_keyframe_path_reconstructs(self, synthetic_run):
         """pass2_enhance="grey" (keyframes shipped as 1-byte/px grey, CLAHE

@@ -124,9 +124,10 @@ class TestUpdateTracks:
         xy0, xy1, xy2 = make_xy(4, 9), make_xy(4, 10), make_xy(4, 11)
         store = step(store, 0, 1, [(0, 1), (2, 3)], xy0, xy1)
         store = step(store, 1, 2, [(1, 0)], xy1, xy2)
-        pts, obs, fidx, pidx, ids = tr.to_ba_arrays(store)
+        pts, obs, fidx, pidx, ids, obs_oct = tr.to_ba_arrays(store)
         # Track 0: 3 obs; track 1: 2 obs -> 5 observations total.
         assert obs.shape == (5, 2)
+        assert obs_oct.shape == (5,)
         assert set(zip(pidx.tolist(), fidx.tolist())) == {
             (0, 0), (0, 1), (0, 2), (1, 0), (1, 1),
         }
@@ -197,9 +198,9 @@ class TestUpdateTracksScan:
 
 
 class TestOctavePropagation:
-    def test_octave_max_over_observations(self):
-        """A track's octave is the coarsest of its observations: set at
-        birth from both endpoints, raised (never lowered) on extension."""
+    def test_per_observation_octaves(self):
+        """Each observation records its keypoint's own detection octave:
+        birth writes both endpoints, extension writes the new keyframe."""
         store = tr.make_store(8, 4)
         xy = np.zeros((3, 4, 2), np.float32)
         oct_per_kf = np.array([[0, 1, 2, 0], [3, 0, 1, 0], [0, 5, 0, 0]], np.int32)
@@ -215,8 +216,13 @@ class TestOctavePropagation:
                 jnp.asarray(oct_per_kf[k]), jnp.asarray(oct_per_kf[k + 1]),
             )
 
-        store = one(store, 0, [(1, 0), (2, 2)])  # births: max(1,3)=3, max(2,1)=2
-        used = np.asarray(store.used)
-        assert sorted(np.asarray(store.octave)[used].tolist()) == [2, 3]
-        store = one(store, 1, [(0, 1)])  # extends track with last_feat 0 -> oct max(3,5)=5
-        assert np.asarray(store.octave)[np.asarray(store.alive)].tolist() == [5]
+        # Births at kf 0->1: track A (q=1 oct 1, t=0 oct 3), B (q=2 oct 2, t=2 oct 1).
+        store = one(store, 0, [(1, 0), (2, 2)])
+        octs = np.asarray(store.octaves)
+        used = np.nonzero(np.asarray(store.used))[0]
+        per_track = {tuple(octs[t, :2]) for t in used}
+        assert per_track == {(1, 3), (2, 1)}
+        # Extend the track whose last feature is 0 with kf2 feature 1 (oct 5).
+        store = one(store, 1, [(0, 1)])
+        alive = np.nonzero(np.asarray(store.alive))[0]
+        assert np.asarray(store.octaves)[alive[0], :3].tolist() == [1, 3, 5]
