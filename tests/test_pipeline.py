@@ -117,6 +117,30 @@ class TestFailurePaths:
             process(frames, config=TEST_CONFIG)
 
 
+class TestPass1Downscale:
+    def test_downscaled_pass1_reconstructs(self, synthetic_run):
+        """pass1_downscale=2 (the >=720p auto path, which the CPU suite
+        never hits via auto) must reconstruct with full-quality geometry:
+        detected corners scale back to full resolution and pass 2 is
+        unchanged. Keyframes may come denser on a small forced-downscale
+        input (see PipelineConfig.pass1_downscale), never sparser than half."""
+        result, _, _, _ = synthetic_run
+        frames, _, _ = render_sequence(SCENE, 40, seed=0)
+        cfg = dataclasses.replace(
+            TEST_CONFIG,
+            pass1_downscale=2,
+            tracks=dataclasses.replace(TEST_CONFIG.tracks, max_keyframes=48),
+        )
+        ds = process(frames, config=cfg)
+        assert ds.reprojection_rmse < max(1.5 * result.reprojection_rmse, 2.0)
+        kf_full = result.metrics["counters"]["keyframes"]
+        kf_ds = ds.metrics["counters"]["keyframes"]
+        assert kf_ds >= 0.5 * kf_full, (kf_ds, kf_full)
+        np.testing.assert_allclose(
+            ds.intrinsics[0, 0], result.intrinsics[0, 0], rtol=0.05
+        )
+
+
 class TestCapacityGuard:
     def test_keyframe_overflow_raises_described_error(self):
         frames, _, _ = render_sequence(SCENE, 30, seed=0)
