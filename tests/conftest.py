@@ -24,3 +24,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache for the CPU test backend: the suite's
+# wall-clock is dominated by recompiling the same programs every run on the
+# single throttled host core (~40 min cold). Cached, repeat runs reuse them.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".cache", "jax-cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# CPU needs these two explicitly; without them nothing is ever written.
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
