@@ -120,6 +120,11 @@ class SolverConfig:
     init_lambda: float = 1e-3
     lambda_up: float = 4.0
     lambda_down: float = 0.25
+    # Shard ONE global-BA problem's points over this many devices
+    # (SURVEY §5.7: point blocks local, camera system psum-reduced; see
+    # parallel.sharded.solve_ba_point_sharded). 0/1 = single-device solve.
+    # Requires that many addressable devices at solve time.
+    point_shard_devices: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

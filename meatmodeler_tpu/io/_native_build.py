@@ -4,11 +4,18 @@ Both native components (the y4m loader and the preprocessing ops) follow
 the same contract: compile ``native/<name>.cpp`` with g++ on first use,
 cache the ``.so`` next to the package, rebuild when the source is newer,
 and degrade to a pure-Python fallback when no toolchain exists.
+
+Loads are serialized with a lock (pass 1 calls the preprocess ops from both
+the main chunk loop and the board-detection worker thread), and the compile
+writes to a unique temp file then ``os.replace``s it into place, so two
+processes racing a cold build can never load a truncated library.
 """
 
 from __future__ import annotations
 
+import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Callable, Optional, Sequence
 
@@ -29,28 +36,35 @@ class NativeLib:
         self._extra_flags = list(extra_flags)
         self._lib = None
         self._failed = False
+        self._lock = threading.Lock()
 
     def load(self):
         """Return the configured CDLL, or None if the build/load failed."""
         import ctypes
 
-        if self._lib is not None or self._failed:
-            return self._lib
-        try:
-            stale = not self._lib_path.exists() or (
-                self._src.exists()
-                and self._src.stat().st_mtime > self._lib_path.stat().st_mtime
-            )
-            if stale:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", *self._extra_flags,
-                     "-o", str(self._lib_path), str(self._src)],
-                    check=True,
-                    capture_output=True,
+        with self._lock:
+            if self._lib is not None or self._failed:
+                return self._lib
+            try:
+                stale = not self._lib_path.exists() or (
+                    self._src.exists()
+                    and self._src.stat().st_mtime > self._lib_path.stat().st_mtime
                 )
-            lib = ctypes.CDLL(str(self._lib_path))
-            self._configure(lib, ctypes)
-            self._lib = lib
-        except Exception:
-            self._failed = True
-        return self._lib
+                if stale:
+                    tmp = self._lib_path.with_suffix(f".tmp{os.getpid()}.so")
+                    try:
+                        subprocess.run(
+                            ["g++", "-O3", "-shared", "-fPIC", *self._extra_flags,
+                             "-o", str(tmp), str(self._src)],
+                            check=True,
+                            capture_output=True,
+                        )
+                        os.replace(tmp, self._lib_path)
+                    finally:
+                        tmp.unlink(missing_ok=True)
+                lib = ctypes.CDLL(str(self._lib_path))
+                self._configure(lib, ctypes)
+                self._lib = lib
+            except Exception:
+                self._failed = True
+            return self._lib

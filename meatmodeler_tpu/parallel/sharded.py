@@ -36,6 +36,7 @@ __all__ = [
     "make_mesh",
     "preprocess_sharded",
     "solve_ba_batch",
+    "solve_ba_point_sharded",
     "match_descriptors_tp",
 ]
 
@@ -118,6 +119,109 @@ def solve_ba_batch(
         return jax.vmap(lambda p: bundle_adjust.solve_ba(p, config=config))(local)
 
     return run(problems)
+
+
+def solve_ba_point_sharded(
+    mesh: Mesh,
+    problem: bundle_adjust.BAProblem,
+    config=None,
+) -> bundle_adjust.BAResult:
+    """ONE bundle-adjustment problem with its points sharded over ``data``.
+
+    The SURVEY §5.7/§5.8 strategy for problems larger than a core: point
+    blocks (V, b_p, back-substitution) and their observations stay local;
+    camera-sized quantities (U, b_c, the Schur cross term S, the reduced RHS,
+    the scalar cost) are ``psum``-reduced across the axis, so every core
+    walks the identical LM trajectory and solves the identical (6F x 6F)
+    reduced camera system. Cross-device traffic per iteration is O(F^2)
+    camera floats — never anything point-sized. This also shards the
+    (P_local, F, 6, 3) Schur strip, the solver's peak-memory term
+    (reference analog: the whole of ``bundleAdjuster.py:160-194`` at
+    100-camera/10k-point scale and beyond).
+
+    Host-side prep: points are partitioned into ``data`` contiguous shards
+    and each observation is routed to its point's shard (re-indexed to local
+    point ids). Returns a BAResult matching ``solve_ba`` on the unsharded
+    problem: points gathered back to the original order/length.
+    """
+    from meatmodeler_tpu.config import SolverConfig
+
+    config = config or SolverConfig()
+    d = mesh.shape["data"]
+
+    pidx = np.asarray(problem.point_idx)
+    fidx = np.asarray(problem.frame_idx)
+    obs = np.asarray(problem.obs)
+    valid = np.asarray(problem.mask).astype(bool)
+    weight = np.ones(len(obs), np.float32) if problem.weight is None else np.asarray(
+        problem.weight, np.float32
+    )
+    pts = np.asarray(problem.points)
+    p_total = pts.shape[0]
+    pl = -(-p_total // d)  # points per shard, padded
+
+    pts_pad = np.zeros((d * pl, 3), pts.dtype)
+    pts_pad[:p_total] = pts
+    shard_of_obs = np.minimum(pidx // pl, d - 1)
+    local_pidx = pidx - shard_of_obs * pl
+
+    counts = np.bincount(shard_of_obs[valid], minlength=d)
+    nl = max(int(counts.max()), 1)
+    obs_l = np.zeros((d, nl, 2), obs.dtype)
+    fidx_l = np.zeros((d, nl), np.int32)
+    pidx_l = np.zeros((d, nl), np.int32)
+    mask_l = np.zeros((d, nl), bool)
+    w_l = np.ones((d, nl), np.float32)
+    for s in range(d):
+        sel = valid & (shard_of_obs == s)
+        n = int(counts[s])
+        obs_l[s, :n] = obs[sel]
+        fidx_l[s, :n] = fidx[sel]
+        pidx_l[s, :n] = local_pidx[sel]
+        mask_l[s, :n] = True
+        w_l[s, :n] = weight[sel]
+
+    pts_sharded = pts_pad.reshape(d, pl, 3)
+
+    out_spec = bundle_adjust.BAResult(
+        cam_params=P(), points=P("data"), cost=P(), rmse=P(), iterations=P()
+    )
+
+    # check_vma off for the same reason as solve_ba_batch; additionally the
+    # replicated outputs (cam/cost/rmse) are identical across cores because
+    # every camera-sized reduction inside solve_ba is psum'd.
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data"), P("data"), P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def run(cam, pts_s, obs_s, fidx_s, pidx_s, mask_s, w_s, k):
+        local = bundle_adjust.BAProblem(
+            cam_params=cam,
+            points=pts_s[0],
+            intrinsics=k,
+            obs=obs_s[0],
+            frame_idx=fidx_s[0],
+            point_idx=pidx_s[0],
+            mask=mask_s[0],
+            weight=w_s[0],
+        )
+        res = bundle_adjust.solve_ba(local, config=config, axis_name="data")
+        return res._replace(points=res.points[None])
+
+    res = run(
+        jnp.asarray(problem.cam_params),
+        jnp.asarray(pts_sharded),
+        jnp.asarray(obs_l),
+        jnp.asarray(fidx_l),
+        jnp.asarray(pidx_l),
+        jnp.asarray(mask_l),
+        jnp.asarray(w_l),
+        jnp.asarray(problem.intrinsics),
+    )
+    return res._replace(points=res.points.reshape(d * pl, 3)[:p_total])
 
 
 def match_descriptors_tp(

@@ -340,9 +340,16 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
             else:
                 mode = config.chessboard.detector
                 c = None
-                if mode in ("device", "auto"):
+                # In auto mode a pattern larger than the configured candidate
+                # budget falls through to the host detector (which handles any
+                # pattern) instead of tripping find_chessboard_device's
+                # ValueError; detector='device' keeps the hard error.
+                device_fits = (
+                    pattern[0] * pattern[1] <= config.chessboard.detect_candidates
+                )
+                if mode == "device" or (mode == "auto" and device_fits):
                     c = _detect_board_device(grey_dev, pattern, scale, config.chessboard)
-                device_missed = c is None and mode == "auto"
+                device_missed = c is None and mode == "auto" and device_fits
                 if c is None and mode in ("host", "auto"):
                     g = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
                     c = _detect_board_host(g, pattern, scale)

@@ -95,25 +95,45 @@ def _obs_jacobians(cam_params, points, intrinsics, obs, fidx, pidx, mask, weight
     return jc * m, jp * m
 
 
-def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r):
+def _allsum(x, axis_name):
+    """Sum across the point-shard axis (identity when unsharded).
+
+    The SURVEY §5.7 sharded-BA shape: point blocks (V, b_p, delta_p) stay
+    local to their core; everything camera-sized (U, b_c, the Schur cross
+    term, the reduced RHS, the scalar cost) is psum-reduced — the cross-
+    device traffic is O(F^2) camera floats, never O(P) point data.
+    """
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r, axis_name=None):
     """One damped Gauss-Newton step via the Schur complement.
 
-    Returns (delta_cam (F,6), delta_pt (P,3)).
+    Returns (delta_cam (F,6), delta_pt (P,3)). With ``axis_name``, ``problem``
+    holds this core's point shard (local point indices) while cameras are
+    replicated; the camera-system reductions are psum'd so every core solves
+    the identical reduced system.
     """
     f = problem.cam_params.shape[0]
     p = problem.points.shape[0]
 
     # Block-diagonal Hessian pieces.
-    u = jax.ops.segment_sum(
-        jnp.einsum("nri,nrj->nij", jc, jc), problem.frame_idx, num_segments=f
+    u = _allsum(
+        jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", jc, jc), problem.frame_idx, num_segments=f
+        ),
+        axis_name,
     )  # (F, 6, 6)
     v = jax.ops.segment_sum(
         jnp.einsum("nri,nrj->nij", jp, jp), problem.point_idx, num_segments=p
-    )  # (P, 3, 3)
+    )  # (P, 3, 3) — local to this core's point shard
     w = jnp.einsum("nri,nrj->nij", jc, jp)  # (N, 6, 3) — one block per obs
 
-    b_c = -jax.ops.segment_sum(
-        jnp.einsum("nri,nr->ni", jc, r), problem.frame_idx, num_segments=f
+    b_c = -_allsum(
+        jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", jc, r), problem.frame_idx, num_segments=f
+        ),
+        axis_name,
     )  # (F, 6)
     b_p = -jax.ops.segment_sum(
         jnp.einsum("nri,nr->ni", jp, r), problem.point_idx, num_segments=p
@@ -142,7 +162,7 @@ def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r):
     a = a.at[problem.point_idx, problem.frame_idx].add(w)
     a_flat = a.reshape(p, f * 6, 3)
     b_strip = jnp.einsum("pak,pkl->pal", a_flat, v_inv)  # (P, 6F, 3)
-    s_cross = jnp.einsum("pak,pbk->ab", b_strip, a_flat)  # (6F, 6F)
+    s_cross = _allsum(jnp.einsum("pak,pbk->ab", b_strip, a_flat), axis_name)  # (6F, 6F)
 
     # Block-diagonal U embedded densely without a Python loop:
     s = -s_cross
@@ -151,10 +171,13 @@ def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r):
 
     # Reduced RHS: b~_c = b_c - sum_n Y_n b_p[p_n].
     y = jnp.einsum("nij,njk->nik", w, v_inv[problem.point_idx])  # (N, 6, 3)
-    red = jax.ops.segment_sum(
-        jnp.einsum("nij,nj->ni", y, b_p[problem.point_idx]),
-        problem.frame_idx,
-        num_segments=f,
+    red = _allsum(
+        jax.ops.segment_sum(
+            jnp.einsum("nij,nj->ni", y, b_p[problem.point_idx]),
+            problem.frame_idx,
+            num_segments=f,
+        ),
+        axis_name,
     )
     rhs = (b_c - red).reshape(f * 6)
 
@@ -170,19 +193,20 @@ def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r):
     return delta_c, delta_p
 
 
-def _cost(problem, cam, pts):
+def _cost(problem, cam, pts, axis_name=None):
     r = _residuals(
         cam, pts, problem.intrinsics, problem.obs,
         problem.frame_idx, problem.point_idx, problem.mask, problem.weight,
     )
-    return 0.5 * jnp.sum(r * r)
+    return _allsum(0.5 * jnp.sum(r * r), axis_name)
 
 
-@partial(jax.jit, static_argnames=("config", "fix_points"))
+@partial(jax.jit, static_argnames=("config", "fix_points", "axis_name"))
 def solve_ba(
     problem: BAProblem,
     config: SolverConfig = SolverConfig(),
     fix_points: bool = False,
+    axis_name: Optional[str] = None,
 ) -> BAResult:
     """Run Schur-complement LM until ftol convergence or max_iters.
 
@@ -192,9 +216,16 @@ def solve_ba(
         reference's ftol=1e-4).
       fix_points: if True, only camera parameters move (the ``adjustPose``
         problem, ``bundleAdjuster.py:206-243``).
+      axis_name: when set, the call runs inside a ``shard_map`` whose
+        ``axis_name`` axis shards the POINTS of one big problem
+        (``problem.points``/observations are this core's shard with local
+        point indices; cameras replicated). Camera-system reductions are
+        psum'd so every core walks the identical LM trajectory (SURVEY §5.7;
+        use ``parallel.sharded.solve_ba_point_sharded`` to set this up).
 
     Returns:
-      BAResult with refined parameters and convergence stats.
+      BAResult with refined parameters and convergence stats (with
+      ``axis_name``: cam/cost/rmse replicated, points local to the shard).
     """
 
     # Canonicalize float dtypes: mixed f32/f64 inputs (e.g. f32 detections
@@ -212,7 +243,7 @@ def solve_ba(
         weight=None if problem.weight is None else problem.weight.astype(dtype),
     )
 
-    n_valid = jnp.maximum(jnp.sum(problem.mask), 1)
+    n_valid = jnp.maximum(_allsum(jnp.sum(problem.mask), axis_name), 1)
 
     def body(state):
         cam, pts, lam, cost, it, _ = state
@@ -229,13 +260,14 @@ def solve_ba(
 
         def attempt(lam_try):
             dc, dp = _solve_normal_equations(
-                problem._replace(cam_params=cam, points=pts), lam_try, jc, jp, r
+                problem._replace(cam_params=cam, points=pts), lam_try, jc, jp, r,
+                axis_name=axis_name,
             )
             if fix_points:
                 dp = jnp.zeros_like(dp)
             new_cam = cam + dc
             new_pts = pts + dp
-            return new_cam, new_pts, _cost(problem, new_cam, new_pts)
+            return new_cam, new_pts, _cost(problem, new_cam, new_pts, axis_name)
 
         c1_cam, c1_pts, c1 = attempt(lam)
         c2_cam, c2_pts, c2 = attempt(lam * config.lambda_up * config.lambda_up)
@@ -266,7 +298,7 @@ def solve_ba(
         _, _, _, _, it, done = state
         return (it < config.max_iters) & (~done)
 
-    cost0 = _cost(problem, problem.cam_params, problem.points)
+    cost0 = _cost(problem, problem.cam_params, problem.points, axis_name)
     init = (
         problem.cam_params,
         problem.points,
@@ -282,7 +314,7 @@ def solve_ba(
         cam, pts, problem.intrinsics, problem.obs,
         problem.frame_idx, problem.point_idx, problem.mask,
     )
-    rmse = jnp.sqrt(jnp.sum(r_px * r_px) / n_valid)
+    rmse = jnp.sqrt(_allsum(jnp.sum(r_px * r_px), axis_name) / n_valid)
     return BAResult(cam, pts, cost, rmse, iters)
 
 
@@ -329,7 +361,16 @@ def adjust_points(
         mask=mask,
         weight=None if weights is None else jnp.asarray(weights),
     )
-    result = solve_ba(problem, config=config)
+    if config.point_shard_devices > 1:
+        # Opt-in sharded single-problem solve (SURVEY §5.7): lazy import to
+        # avoid a module cycle (parallel.sharded imports this module).
+        from meatmodeler_tpu.parallel import sharded
+
+        n = min(config.point_shard_devices, len(jax.devices()))
+        mesh = sharded.make_mesh(data=n, model=1)
+        result = sharded.solve_ba_point_sharded(mesh, problem, config=config)
+    else:
+        result = solve_ba(problem, config=config)
     new_ext = projection.extrinsics_from_params(result.cam_params, homogeneous=True)
     return result.points, new_ext, result
 

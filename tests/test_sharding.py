@@ -64,6 +64,69 @@ class TestDataParallelBA:
         assert np.all(np.asarray(result.rmse) < 1.0)
 
 
+class TestPointShardedBA:
+    """ONE BA problem sharded by points over the mesh (SURVEY §5.7)."""
+
+    def test_matches_unsharded_at_10k_points(self, devices):
+        # BASELINE config-3 scale class: >= 10k points. Few cameras keep the
+        # CPU run quick; the sharded machinery is identical at any F.
+        problem = make_ba_problem(42, n_frames=12, n_points=10240, n_obs=40960)
+        mesh = sharded.make_mesh(data=8, model=1)
+        res_sh = sharded.solve_ba_point_sharded(mesh, problem)
+        res = bundle_adjust.solve_ba(problem)
+        # Same LM trajectory => same cost/rmse and near-identical parameters.
+        np.testing.assert_allclose(float(res_sh.rmse), float(res.rmse), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res_sh.cam_params), np.asarray(res.cam_params), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.points), np.asarray(res.points), atol=1e-3
+        )
+        assert int(res_sh.iterations) == int(res.iterations)
+
+    def test_weighted_and_masked(self, devices):
+        problem = make_ba_problem(7, n_frames=4, n_points=100, n_obs=512)
+        rng = np.random.default_rng(3)
+        weight = rng.uniform(0.5, 2.0, 512).astype(np.float32)
+        mask = np.asarray(problem.mask).copy()
+        mask[::7] = False
+        problem = problem._replace(
+            weight=jnp.asarray(weight), mask=jnp.asarray(mask)
+        )
+        mesh = sharded.make_mesh(data=4, model=2)
+        res_sh = sharded.solve_ba_point_sharded(mesh, problem)
+        res = bundle_adjust.solve_ba(problem)
+        np.testing.assert_allclose(float(res_sh.rmse), float(res.rmse), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res_sh.points), np.asarray(res.points), atol=1e-3
+        )
+
+    def test_adjust_points_opt_in(self, devices):
+        from meatmodeler_tpu.config import SolverConfig
+
+        problem = make_ba_problem(11, n_frames=4, n_points=64, n_obs=256)
+        ext = projection.extrinsics_from_params(problem.cam_params)
+        pts_sh, ext_sh, res_sh = bundle_adjust.adjust_points(
+            ext,
+            problem.intrinsics,
+            problem.points,
+            problem.obs,
+            problem.frame_idx,
+            problem.point_idx,
+            config=SolverConfig(point_shard_devices=8),
+        )
+        pts_1, ext_1, res_1 = bundle_adjust.adjust_points(
+            ext,
+            problem.intrinsics,
+            problem.points,
+            problem.obs,
+            problem.frame_idx,
+            problem.point_idx,
+        )
+        np.testing.assert_allclose(float(res_sh.rmse), float(res_1.rmse), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(pts_sh), np.asarray(pts_1), atol=1e-3)
+
+
 class TestTensorParallelMatching:
     def test_tp_matches_equal_single_device(self, devices):
         rng = np.random.default_rng(0)
