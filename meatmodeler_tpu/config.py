@@ -163,6 +163,12 @@ class VolumeConfig:
     # points, and coarse-pyramid detections carry multi-px position noise
     # that inflates volumes cubically. 0 disables the gate.
     max_point_sigma: float = 2.0
+    # Exclude points whose endpoint-ray parallax (deg) is below this from
+    # the volume estimators: depth noise scales as 1/parallax, so marginal
+    # low-parallax tracks (which legitimately serve BA) smear along their
+    # viewing rays and inflate the hull. Stricter than
+    # tracks.min_parallax_deg (the BA-inclusion gate). 0 disables.
+    min_parallax_deg: float = 2.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,6 +207,17 @@ class PipelineConfig:
 
     def __post_init__(self):
         _check_choice("pass2_enhance", self.pass2_enhance, ("bgr_lab", "grey"))
+    # Marker-free fallback (north-star RANSAC requirement): when fewer than 3
+    # keyframes show the calibration board, re-run keyframe selection without
+    # the board gate and bootstrap poses from chained essential-matrix RANSAC
+    # (geometry/ransac.py) with track-based scale chaining instead of
+    # raising. Output is up-to-scale (monocular gauge); metrics flag it.
+    # The reference crashes/loops forever on board-free videos
+    # (processor.py:316-319).
+    markerless_fallback: bool = True
+    # Assumed focal length (px) for the marker-free path; 0 = auto
+    # (1.2 * max(width, height), the classic uncalibrated-bootstrap prior).
+    markerless_focal: float = 0.0
     # Incremental (online) bundle adjustment: re-solve the BA after every
     # keyframe prefix instead of once globally — the reference's *intended*
     # design, left commented out at processor.py:395-408 (SURVEY.md §2.2).

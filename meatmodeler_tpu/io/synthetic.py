@@ -44,6 +44,10 @@ class TurntableScene:
     arc_degrees: float = 50.0
     focal: float = 700.0
     noise_sigma: float = 1.5
+    # False renders the ground plane as a uniform white sheet (no checker
+    # squares): the marker-free test scene, where the only trackable
+    # structure is the ellipsoid's speckle texture.
+    show_board: bool = True
 
     @property
     def intrinsics(self) -> np.ndarray:
@@ -108,6 +112,8 @@ def _checker_color(u: np.ndarray, v: np.ndarray, scene: TurntableScene) -> np.nd
     # White border apron around the squares (required by board detectors).
     in_apron = (u >= -2.2 * s) & (u <= (x + 1.2) * s) & (v >= -2.2 * s) & (v <= (y + 1.2) * s)
     checker = np.where((iu + iv) % 2 == 0, 235.0, 20.0)
+    if not scene.show_board:
+        checker = np.full_like(checker, 235.0)
     color = np.where(in_board, checker, np.where(in_apron, 235.0, np.nan))
     return color
 
@@ -280,6 +286,8 @@ def _render_frames_jax(
             (pu >= -2.2 * s) & (pu <= (px + 1.2) * s) & (pv >= -2.2 * s) & (pv <= (py + 1.2) * s)
         )
         checker = jnp.where((iu + iv) % 2 == 0, 235.0, 20.0)
+        if not scene.show_board:
+            checker = jnp.full_like(checker, 235.0)
         color_v = jnp.where(in_board, checker, 235.0)
         plane_ok = hit & (in_board | in_apron)
         img = jnp.where(plane_ok & (tt < depth), color_v, img)

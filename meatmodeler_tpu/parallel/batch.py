@@ -147,6 +147,8 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
             pre.image_size,
             config,
             point_sigma=pre.point_sigma,
+            point_parallax=pre.point_parallax,
+            use_plane=not pre.markerless,
         )
         metrics.count("item_points", n_item)
 

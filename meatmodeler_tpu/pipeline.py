@@ -45,6 +45,11 @@ try:  # pragma: no cover - trivially environment-dependent
         _cache_dir = _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax")
         jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Without these two, several program classes are silently never
+        # written (observed: ORB/triangulation entries missing while CLAHE
+        # cached fine), leaving minutes of recompiles on every fresh process.
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 except Exception:
     pass
 
@@ -224,6 +229,117 @@ def _make_orb_minibatch(orb_cfg):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _make_pose_stage(side_length: float):
+    """One jitted program for the pose-estimation stage glue.
+
+    Eager op-by-op dispatch is poison on the remote-compiled TPU backend:
+    every distinct eager op is its own tiny program compile (seconds each,
+    remote). Fusing the stage into one jit removes ~a dozen of them and lets
+    XLA fuse the undistort/PnP math.
+    """
+
+    @jax.jit
+    def run(corners, intr, dist_coefs, obj_z0):
+        und_corners = jax.vmap(
+            lambda c: distortion.undistort_pixels(c, intr, dist_coefs)
+        )(corners)
+        # The reference's pose board: X-Z plane scaled by side_length
+        # (processor.py:162-166).
+        n_corners = obj_z0.shape[0]
+        board_xz = jnp.zeros((n_corners, 3), corners.dtype)
+        board_xz = board_xz.at[:, 0].set(obj_z0[:, 0] * side_length)
+        board_xz = board_xz.at[:, 2].set(obj_z0[:, 1] * side_length)
+        poses = pnp.solve_pnp_batch(
+            board_xz[:, [0, 2]], (0, 2), board_xz, und_corners, intr
+        )
+        return und_corners, poses
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _make_triangulate_gate(tri_mode: str, scale_factor: float, min_parallax_deg: float):
+    """One jitted program for the triangulation + outlier-gating stage."""
+
+    @jax.jit
+    def run(store, ext_refined, intr, dist_coefs, projections):
+        # Undistort all track coordinates once; BA/triangulation are pinhole.
+        coords_und = distortion.undistort_pixels(store.coords, intr, dist_coefs)
+        store = store._replace(coords=coords_und)
+
+        first_kf, last_kf, first_xy, last_xy, tri_valid = (
+            tracks_mod.triangulation_endpoints(store)
+        )
+        if tri_mode == "nview":
+            pts3d = triangulation.triangulate_nview(
+                projections, store.coords, store.obs_mask
+            )
+        else:
+            pts3d = triangulation.triangulate_pairs(
+                projections[first_kf], projections[last_kf], first_xy, last_xy
+            )
+        # Outlier gating the reference lacks entirely: drop tracks whose
+        # initial reprojection (triangulated point vs every observation)
+        # exceeds a few pixels — mismatched ORB pairs would otherwise drag
+        # the global BA (the role RANSAC plays in the north-star design).
+        finite = jnp.all(jnp.isfinite(pts3d), axis=1)
+        cam_params_ref = projection.params_from_extrinsics(ext_refined)
+        proj_all = projection.project_points(
+            pts3d[:, None, :], cam_params_ref[None, :, :], intr
+        )  # (T, F, 2)
+        resid = jnp.linalg.norm(proj_all - store.coords, axis=-1)
+        # Scale-aware gate: a keypoint detected at pyramid octave o carries
+        # ~scale_factor**o px of positional uncertainty, so its legitimate
+        # residual is proportionally larger (ORB-SLAM's per-octave sigma) —
+        # applied per OBSERVATION, each against its own detection octave.
+        sigma_obs = jnp.float32(scale_factor) ** store.octaves.astype(jnp.float32)
+        resid_norm = jnp.where(store.obs_mask, resid / sigma_obs, 0.0)
+        inlier = jnp.max(resid_norm, axis=1) < 4.0
+        # Per-track parallax between the endpoint rays: depth noise scales as
+        # 1/parallax, so this both gates BA inclusion (below) and is exported
+        # for the volume estimators' stronger gate (low-parallax tracks pass
+        # the reprojection gate while carrying large depth noise — they are
+        # the points that blow up the hull volume).
+        rot = ext_refined[:, :3, :3]
+        centers = -jnp.einsum("fij,fi->fj", rot, ext_refined[:, :3, 3])  # (F, 3)
+        r1 = pts3d - centers[first_kf]
+        r2 = pts3d - centers[last_kf]
+        cosang = jnp.sum(r1 * r2, axis=1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1), 1e-12
+        )
+        parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+        if min_parallax_deg > 0:
+            inlier &= parallax_deg > min_parallax_deg
+        store = store._replace(points=jnp.where(finite[:, None], pts3d, 0.0))
+        return store, tri_valid & finite & inlier, jnp.sum(finite & ~inlier), parallax_deg
+
+    return run
+
+
+def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
+    """Dispatch compilation of the big pass-2 programs on dummy data.
+
+    Runs on a background thread DURING pass 1: the ORB minibatch program
+    alone takes minutes to compile cold on the remote Mosaic backend, and
+    its shape depends only on the image size and the ORB config — both known
+    as soon as the first chunk arrives. Overlapping the compile with pass-1
+    streaming removes it from the cold critical path.
+    """
+    try:
+        h, w = grey_shape
+        zeros = jnp.zeros((_ORB_MINIBATCH, h, w), jnp.float32)
+        if config.pass2_enhance == "bgr_lab":
+            _enhanced_grey_batch(jnp.zeros((_ORB_MINIBATCH, h, w, 3), jnp.uint8))
+        else:
+            _clahe_grey_batch(zeros)
+        run_orb = _make_orb_minibatch(config.orb)
+        jax.block_until_ready(run_orb(zeros))
+        logger.debug("pass-2 warmup complete")
+    except Exception:  # pragma: no cover — warmup must never break the run
+        logger.debug("pass-2 warmup failed", exc_info=True)
+
+
 def _board_fit_residual(corners: np.ndarray, pattern) -> float:
     """Max residual (px) of a planar-homography fit of the board grid.
 
@@ -272,40 +388,143 @@ def _detect_board_host(grey_small, pattern, scale):
     return c
 
 
-def _detect_board_device(grey_dev, pattern, scale, cb_cfg):
-    """On-device detection (ops/board_detect.py) on the device-resident grey.
+_DETECT_MINIBATCH = 8
 
-    Replaces the host ``cv2.findChessboardCorners`` round trip: the image
-    never leaves HBM; only the 12-corner result and an ok flag come back.
-    Validated by the same planar-homography gate as the host path.
+
+@functools.lru_cache(maxsize=8)
+def _make_board_detect_batch(pattern, max_candidates, tol):
+    """One jitted vmapped board-detect program over a fixed-size stack."""
+
+    @jax.jit
+    def run(stack):
+        return jax.vmap(
+            lambda g: board_detect.find_chessboard_device(
+                g, pattern=pattern, max_candidates=max_candidates, tol=tol
+            )
+        )(stack)
+
+    return run
+
+
+def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
+    """BATCHED on-device detection over a list of device-resident greys.
+
+    One vmapped program + ONE readback for the whole keyframe set, replacing
+    the per-keyframe device round trips that dominated pass-1 wall clock
+    whenever the host<->device link was throttled (each tiny result readback
+    waited on the link; measured 66 s for 21 keyframes on a bad draw).
+    Results are validated by the same planar-homography gate as the host
+    path. Returns a list of full-res corner arrays or None per frame.
     """
-    det = board_detect.find_chessboard_device(
-        grey_dev,
-        pattern=pattern,
-        max_candidates=cb_cfg.detect_candidates,
-        tol=cb_cfg.detect_tol,
+    if not smalls_dev:
+        return []
+    run = _make_board_detect_batch(
+        tuple(pattern), cb_cfg.detect_candidates, cb_cfg.detect_tol
     )
-    if not bool(det.ok):
-        return None
-    c = chessboard.canonicalize_corners(np.asarray(det.corners, np.float32) * scale, pattern)
-    if _board_fit_residual(c, pattern) > 3.0 * scale:
-        return None
-    return c
+    out = []
+    mb = _DETECT_MINIBATCH
+    n = len(smalls_dev)
+    padded = list(smalls_dev) + [smalls_dev[-1]] * ((-n) % mb)
+    dets = [run(jnp.stack(padded[i : i + mb])) for i in range(0, len(padded), mb)]
+    ok = np.concatenate([np.asarray(d.ok) for d in dets])[:n]
+    corners = np.concatenate([np.asarray(d.corners) for d in dets])[:n]
+    for i in range(n):
+        if not ok[i]:
+            out.append(None)
+            continue
+        c = chessboard.canonicalize_corners(
+            np.asarray(corners[i], np.float32) * scale, pattern
+        )
+        out.append(None if _board_fit_residual(c, pattern) > 3.0 * scale else c)
+    return out
 
 
-def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_chunk):
+def _resolve_board_corners(
+    kf_frames, kf_corners, kf_small_dev, kf_small_host, pattern, scale, config, metrics
+):
+    """Post-pass-1 board detection + sequential orientation anchoring.
+
+    Entries of ``kf_corners`` that are None run through the batched device
+    detector (one program, one readback) with a host cv2 fallback on the
+    RETAINED host small greys (zero device readbacks). Boardless keyframes
+    are dropped (processor.py:369-371). All corners — detected or known —
+    then get the sequential 180-degree orientation anchoring (detectors flip
+    the symmetric grid between frames).
+
+    Returns (kept kf_frames, kept corners).
+    """
+    mode = config.chessboard.detector
+    # In auto mode a pattern larger than the candidate budget falls through
+    # to the host detector; detector='device' keeps the hard ValueError.
+    device_fits = pattern[0] * pattern[1] <= config.chessboard.detect_candidates
+    n = len(kf_frames)
+    pending = [i for i in range(n) if kf_corners[i] is None]
+
+    dev_results = {}
+    if pending and (mode == "device" or (mode == "auto" and device_fits)):
+        cand = _detect_board_device_batch(
+            [kf_small_dev[i] for i in pending], pattern, scale, config.chessboard
+        )
+        dev_results = dict(zip(pending, cand))
+
+    out_frames, out_corners = [], []
+    prev = None
+    for i in range(n):
+        c = kf_corners[i]
+        if c is None:
+            c = dev_results.get(i)
+            device_ran = i in dev_results
+            if c is None and mode in ("host", "auto"):
+                c = _detect_board_host(kf_small_host[i], pattern, scale)
+                if c is None and scale > 1:
+                    # Rare full-res fallback: read back the retained keyframe.
+                    frame = np.asarray(kf_frames[i])
+                    grey_full = (
+                        native_ops.bgr_to_grey_down(frame[None], 1)[0]
+                        if frame.ndim == 3
+                        else frame
+                    )
+                    c = _detect_board_host(grey_full, pattern, 1)
+                if device_ran and c is not None:
+                    # Count only genuine device-detector misses: the host
+                    # found a board the device did not (board-free frames
+                    # are not fallbacks — both detectors agree there).
+                    metrics.add("board_detect_host_fallbacks", 1)
+        if c is None:
+            continue  # boardless keyframes dropped (processor.py:369-371)
+        c = chessboard.orient_corners_to(c, prev)
+        prev = c
+        out_frames.append(kf_frames[i])
+        out_corners.append(c)
+    return out_frames, out_corners
+
+
+def _run_pass1(
+    video, config, pattern, known_corners, metrics, init_carry, scan_chunk,
+    markerfree: bool = False,
+):
     """PASS 1 driver: stream chunks, run the keyframe scan, detect boards.
+
+    ``markerfree=True`` (the fallback re-pass for board-free videos): the
+    scan bootstraps at frame 0 instead of waiting for the first board
+    (processor.py:315-319), board detection is skipped entirely, and every
+    flagged keyframe is retained with ``None`` corners.
 
     Pipelined: chunk k+1's upload + CLAHE + scan are dispatched before chunk
     k's keyframe flags are read back, so the slow host->device link streams
     continuously instead of stalling on every round trip. The scan reseeds
-    itself on device (see ``_make_keyframe_scan``), so the only host feedback
-    is board detection — which lags one chunk behind without affecting the
-    scan. Pass-1 frames are downscaled by ``config.pass1_downscale`` (auto:
-    4x for >=1080p, 2x for >=720p); keyframes upload at full resolution for
-    pass 2 (BGR, or native-converted grey in ``pass2_enhance="grey"`` mode).
+    itself on device (see ``_make_keyframe_scan``). Board detection is NOT
+    done here (except bootstrap): keyframes are retained with their device
+    and host small greys, and ``_resolve_board_corners`` batch-detects after
+    the pass — per-keyframe device round trips inside pass 1 serialized on
+    the link whenever it was throttled (measured 66 s for 21 keyframes on a
+    bad draw). Pass-1 frames are downscaled by ``config.pass1_downscale``
+    (auto: 4x for >=1080p, 2x for >=720p); keyframes upload at full
+    resolution for pass 2 (BGR, or native-converted grey in
+    ``pass2_enhance="grey"`` mode).
 
-    Returns (kf_frames DEVICE arrays, kf_corners, frames_total).
+    Returns (kf_frames DEVICE arrays, kf_corners (known/bootstrap entries
+    set, rest None), kf_small_dev, kf_small_host, frames_total, scale).
     """
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
@@ -316,97 +535,72 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
         carry = None
         frame_idx = 0  # global index of the next chunk's first frame
         kf_frames = []  # DEVICE full-res uint8 keyframes (BGR, or grey in "grey" mode)
-        kf_corners = []  # detected board corners (full-res px) per keyframe
+        kf_corners = []  # known/bootstrap corners (full-res px) or None per keyframe
+        kf_small_dev = []  # CLAHE'd downscaled device grey per keyframe
+        kf_small_host = []  # raw downscaled host grey per keyframe
 
         # The caller's default device, captured HERE: uploads below may run
-        # on the detection worker thread, and jax.default_device is
+        # on the resolver worker thread, and jax.default_device is
         # thread-local — without pinning, a pipelined ingest stage's
         # keyframes would land on the wrong device and re-transfer later.
         target_device = jax.default_device.value
 
-        def retain_keyframe(frame_host):
+        def retain_keyframe(frame_host, small_dev, small_host, corners):
             """Upload one full-res keyframe; in "grey" pass-2 mode it ships
             as one byte per pixel (native host conversion)."""
             frame_host = np.asarray(frame_host)
             if config.pass2_enhance == "grey" and frame_host.ndim == 3:
                 frame_host = native_ops.bgr_to_grey_down(frame_host[None], 1)[0]
-            return jax.device_put(np.ascontiguousarray(frame_host), target_device)
+            kf_frames.append(
+                jax.device_put(np.ascontiguousarray(frame_host), target_device)
+            )
+            kf_corners.append(corners)
+            kf_small_dev.append(small_dev)
+            kf_small_host.append(np.ascontiguousarray(small_host))
 
-        def detect(grey_dev, chunk_host_frame, global_idx):
-            if known_corners is not None:
-                c = chessboard.canonicalize_corners(
-                    np.asarray(known_corners[global_idx], np.float32), pattern
-                )
-            else:
-                mode = config.chessboard.detector
-                c = None
-                # In auto mode a pattern larger than the configured candidate
-                # budget falls through to the host detector (which handles any
-                # pattern) instead of tripping find_chessboard_device's
-                # ValueError; detector='device' keeps the hard error.
-                device_fits = (
-                    pattern[0] * pattern[1] <= config.chessboard.detect_candidates
-                )
-                if mode == "device" or (mode == "auto" and device_fits):
-                    c = _detect_board_device(grey_dev, pattern, scale, config.chessboard)
-                device_missed = c is None and mode == "auto" and device_fits
-                if c is None and mode in ("host", "auto"):
-                    g = np.clip(np.asarray(grey_dev), 0, 255).astype(np.uint8)
-                    c = _detect_board_host(g, pattern, scale)
-                    if c is None and scale > 1:
-                        # Full-res fallback from the retained host frame (rare).
-                        frame = np.asarray(chunk_host_frame)
-                        grey_full = (
-                            native_ops.bgr_to_grey_down(frame[None], 1)[0]
-                            if frame.ndim == 3
-                            else frame
-                        )
-                        c = _detect_board_host(grey_full, pattern, 1)
-                if device_missed and c is not None:
-                    # Count only genuine device-detector misses: the host
-                    # found a board the device did not (board-free frames
-                    # are not fallbacks — both detectors agree there).
-                    metrics.add("board_detect_host_fallbacks", 1)
-            if c is None:
-                return None
-            # Detectors flip the symmetric grid 180 degrees between frames;
-            # anchor to the previous keyframe to keep 2D-3D assignments
-            # consistent across the whole orbit.
-            return chessboard.orient_corners_to(c, kf_corners[-1] if kf_corners else None)
+        def known_of(global_idx):
+            return chessboard.canonicalize_corners(
+                np.asarray(known_corners[global_idx], np.float32), pattern
+            )
 
-        def resolve(flags_dev, greys_dev, chunk_host, idx0, real_len, offset):
+        def resolve(flags_dev, greys_dev, grey_host, chunk_host, idx0, real_len, offset):
             t0 = _time.perf_counter()
             flags = np.array(flags_dev)[:real_len]
             flags[:offset] = False  # pre-board frames must not fire
             t1 = _time.perf_counter()
+            metrics.add("pass1_sync_s", t1 - t0)
             for i in np.nonzero(flags)[0]:
-                c = detect(greys_dev[i], chunk_host[i], idx0 + int(i))
-                if c is not None:  # boardless keyframes dropped (processor.py:369-371)
-                    # Upload the full-res keyframe NOW: the link is idle
-                    # while the detector runs, and pass 2 then starts with
-                    # everything already device-resident. Only keyframes
-                    # ship at full resolution (the link burst-throttles).
-                    kf_frames.append(retain_keyframe(chunk_host[i]))
-                    kf_corners.append(c)
+                c = known_of(idx0 + int(i)) if known_corners is not None else None
+                # Upload the full-res keyframe NOW: the link is idle between
+                # chunk uploads, and pass 2 then starts with everything
+                # already device-resident. Only keyframes ship at full
+                # resolution (the link burst-throttles).
+                retain_keyframe(chunk_host[i], greys_dev[i], grey_host[i], c)
             logger.debug(
-                "pass1 resolve@%d: sync %.3fs detect %.3fs (%d kf)",
-                idx0,
-                t1 - t0,
-                _time.perf_counter() - t1,
-                int(flags.sum()),
+                "pass1 resolve@%d: sync %.3fs (%d kf)", idx0, t1 - t0, int(flags.sum())
             )
 
-        # Board detection runs on a single worker thread: cv2 releases the
-        # GIL, so detection of chunk k's keyframes overlaps the upload and
-        # device compute of chunk k+1 (the single worker keeps detections —
-        # and the orientation anchor — strictly ordered).
+        # The resolver runs on a single worker thread so chunk k's flag
+        # readback + keyframe uploads overlap the decimation and device
+        # compute of chunk k+1 (single worker = keyframe order preserved).
         executor = ThreadPoolExecutor(max_workers=1)
         futures = []
 
+        warm_thread = None
         for chunk in source.chunks(config.frame_chunk):
             if scale == 0:  # auto (resolve on first chunk)
                 min_dim = min(chunk.shape[1], chunk.shape[2])
                 scale = 4 if min_dim >= 1060 else 2 if min_dim >= 720 else 1
+            if warm_thread is None:
+                # Compile pass 2's programs concurrently with pass-1 streaming.
+                import threading
+
+                warm_thread = threading.Thread(
+                    target=_warm_pass2,
+                    args=(config, tuple(chunk.shape[1:3])),
+                    daemon=True,
+                )
+                warm_thread.start()
             # Pad ragged chunks up front so every device op sees one shape.
             real_len = len(chunk)
             if real_len < config.frame_chunk:
@@ -415,11 +609,16 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 )
             # Native host BGR->grey decimation, then ship one byte per
             # downscaled pixel (see _clahe_grey_batch for the link economics).
+            t_d0 = _time.perf_counter()
             if chunk.ndim == 4:
                 grey_host = native_ops.bgr_to_grey_down(chunk, scale)
             else:  # already-grey source
                 grey_host = chunk[:, ::scale, ::scale]
+            t_d1 = _time.perf_counter()
             greys = _clahe_grey_batch(jnp.asarray(grey_host))
+            t_d2 = _time.perf_counter()
+            metrics.add("pass1_decim_s", t_d1 - t_d0)
+            metrics.add("pass1_upload_s", t_d2 - t_d1)
 
             idx0 = frame_idx
             offset = 0
@@ -427,14 +626,39 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
                 # Discard leading frames until the chessboard is visible
                 # (processor.py:315-319) — but without crashing on
                 # board-free videos (the reference loops forever, SURVEY §5.3).
+                # Markerfree/known-corner modes bootstrap at frame 0.
                 start = None
-                for i in range(real_len):
-                    c = detect(greys[i], chunk[i], idx0 + i)
-                    if c is not None:
-                        start = i
-                        kf_frames.append(retain_keyframe(chunk[i]))
-                        kf_corners.append(c)
-                        break
+                if markerfree or known_corners is not None:
+                    start = 0
+                    c0 = known_of(idx0) if known_corners is not None else None
+                    retain_keyframe(chunk[0], greys[0], grey_host[0], c0)
+                elif config.chessboard.detector == "device":
+                    cand = _detect_board_device_batch(
+                        [greys[i] for i in range(real_len)],
+                        pattern, scale, config.chessboard,
+                    )
+                    for i, c0 in enumerate(cand):
+                        if c0 is not None:
+                            start = i
+                            retain_keyframe(chunk[i], greys[i], grey_host[i], c0)
+                            break
+                else:
+                    # Host bootstrap straight from the host greys — zero
+                    # device readbacks; full-res retry per frame (rare).
+                    for i in range(real_len):
+                        c0 = _detect_board_host(grey_host[i], pattern, scale)
+                        if c0 is None and scale > 1:
+                            frame = np.asarray(chunk[i])
+                            grey_full = (
+                                native_ops.bgr_to_grey_down(frame[None], 1)[0]
+                                if frame.ndim == 3
+                                else frame
+                            )
+                            c0 = _detect_board_host(grey_full, pattern, 1)
+                        if c0 is not None:
+                            start = i
+                            retain_keyframe(chunk[i], greys[i], grey_host[i], c0)
+                            break
                 if start is None:
                     frame_idx += real_len
                     continue
@@ -446,18 +670,115 @@ def _run_pass1(video, config, pattern, known_corners, metrics, init_carry, scan_
             else:
                 frame_idx += real_len
 
+            t_s0 = _time.perf_counter()
             carry, flags = scan_chunk(carry, greys, width_scale=scale)
+            metrics.add("pass1_scan_dispatch_s", _time.perf_counter() - t_s0)
             futures.append(
-                executor.submit(resolve, flags, greys, chunk, idx0, real_len, offset)
+                executor.submit(
+                    resolve, flags, greys, grey_host, chunk, idx0, real_len, offset
+                )
             )
 
+        t_w0 = _time.perf_counter()
         executor.shutdown(wait=True)
+        metrics.add("pass1_drain_s", _time.perf_counter() - t_w0)
         for fut in futures:
             fut.result()  # surface worker exceptions
 
         metrics.count("frames_total", frame_idx)
-        metrics.count("keyframes", len(kf_frames))
-    return kf_frames, kf_corners, frame_idx
+        metrics.count("keyframes_selected", len(kf_frames))
+    return kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale
+
+
+# --------------------------------------------------------------------------
+# marker-free pose bootstrap
+# --------------------------------------------------------------------------
+
+
+def _compose_pose(pose_a: np.ndarray, rvec_rel, tvec_rel) -> np.ndarray:
+    """world->cam_b (6,) from world->cam_a (6,) and relative cam_a->cam_b."""
+    from meatmodeler_tpu.geometry import so3
+
+    r_a = np.asarray(so3.exp(jnp.asarray(pose_a[:3])))
+    r_rel = np.asarray(so3.exp(jnp.asarray(rvec_rel)))
+    r_b = r_rel @ r_a
+    t_b = r_rel @ pose_a[3:] + np.asarray(tvec_rel)
+    return np.concatenate([np.asarray(so3.log(jnp.asarray(r_b))), t_b]).astype(
+        np.float32
+    )
+
+
+def _chain_keyframe_poses(store, intrinsics, n_kf):
+    """Marker-free keyframe poses: chained essential-matrix RANSAC.
+
+    For each consecutive keyframe pair, tracks observed in both supply
+    correspondences to the batched LO-RANSAC essential estimator
+    (``geometry/ransac.py``); the unobservable per-pair monocular scale is
+    chained through tracks spanning three keyframes (depth-ratio median, the
+    ``odometry.chain_poses`` policy applied to the ORB track store). World
+    frame = keyframe 0's camera; the first baseline sets the global scale
+    (up-to-scale output). Reference analog: none — every reference pose
+    needs the board (``processor.py:175-179``); this is the north-star
+    RANSAC path inside ``process``.
+
+    Returns ((F, 3, 4) extrinsics, per-pair inlier counts).
+    """
+    from meatmodeler_tpu.geometry import ransac
+
+    k = jnp.asarray(intrinsics, jnp.float32)
+    coords = store.coords  # (T, F, 2)
+    obs_mask = np.asarray(store.obs_mask)
+    t_cap = coords.shape[0]
+    key = jax.random.PRNGKey(0)
+    eye34 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+
+    poses = [np.zeros(6, np.float32)]
+    inliers_per = []
+    prev_depth = np.full(t_cap, np.nan, np.float32)
+    prev_scale = 1.0
+    for i in range(n_kf - 1):
+        sel = jnp.asarray(obs_mask[:, i] & obs_mask[:, i + 1])
+        pts1 = coords[:, i]
+        pts2 = coords[:, i + 1]
+        rvec, tvec, res = ransac.estimate_relative_pose(
+            pts1, pts2, sel, k, jax.random.fold_in(key, i)
+        )
+        ext2 = projection.extrinsics_from_params(
+            jnp.concatenate([rvec, tvec])[None]
+        )[0]
+        pts3d = triangulation.triangulate_pairs(
+            jnp.broadcast_to(k @ eye34, (t_cap, 3, 4)),
+            jnp.broadcast_to(k @ ext2[:3], (t_cap, 3, 4)),
+            pts1,
+            pts2,
+        )
+        depth_i = np.asarray(pts3d[:, 2])  # depths in keyframe i's frame
+        inl = np.asarray(res.inliers) & np.asarray(sel)
+        inliers_per.append(int(inl.sum()))
+        if inl.sum() < 8:
+            raise ValueError(
+                f"marker-free pose bootstrap failed: keyframe pair ({i}, {i + 1}) "
+                f"has only {int(inl.sum())} epipolar inliers (< 8) — the video "
+                "lacks trackable structure or camera motion"
+            )
+        ok = inl & np.isfinite(depth_i) & (depth_i > 1e-3)
+        # Tracks also seen by the previous pair carry the previous gauge.
+        both = ok & np.isfinite(prev_depth)
+        if both.sum() >= 8:
+            scale = float(np.median(prev_depth[both] / depth_i[both]))
+        else:
+            scale = prev_scale  # constant-speed fallback
+        poses.append(
+            _compose_pose(poses[-1], np.asarray(rvec), np.asarray(tvec) * scale)
+        )
+        cam_next = (np.asarray(ext2[:3, :3]) @ np.asarray(pts3d).T).T + np.asarray(
+            ext2[:3, 3]
+        )
+        prev_depth = np.where(ok, cam_next[:, 2] * scale, np.nan).astype(np.float32)
+        prev_scale = scale
+
+    params = jnp.asarray(np.stack(poses))
+    return projection.extrinsics_from_params(params), inliers_per
 
 
 # --------------------------------------------------------------------------
@@ -479,40 +800,77 @@ class PreBA(NamedTuple):
     pidx: np.ndarray  # (O,) point indices
     obs_weight: np.ndarray  # (O,) inverse-octave-sigma BA weights
     point_sigma: np.ndarray  # (P,) per-point octave sigma (px at level 0)
+    point_parallax: np.ndarray  # (P,) endpoint-ray parallax (deg)
     n_kf: int
     image_size: Tuple[int, int]  # (w, h)
     frames_total: int
+    # Marker-free reconstruction (assumed K, up-to-scale; no board plane).
+    markerless: bool = False
 
 
 def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
     """PASS 1 + PASS 2 + geometry up to (but excluding) the global BA."""
     pattern = config.chessboard.pattern
-    n_corners = pattern[0] * pattern[1]
     init_carry, scan_chunk = _make_keyframe_scan(config)
 
     # ---- PASS 1: stream chunks, select keyframes ----
     kf_stack = None
+    markerless = False
     if ckpt.has("keyframes"):
         data = ckpt.load("keyframes")
         # float32 enhanced greys: any rounding here would make resumed runs
         # differ from fresh ones (top-k ties in the detectors flip on
         # 0.1-level changes).
         kf_stack = jnp.asarray(data["greys"], jnp.float32)
-        kf_corners = list(data["corners"])
+        corners_arr = data["corners"]
+        markerless = corners_arr.shape[1] == 0  # the markerfree sentinel
+        kf_corners = [None] * len(corners_arr) if markerless else list(corners_arr)
         n_kf = len(kf_corners)
         frame_idx = int(data["frames_total"])
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes", n_kf)
     else:
-        kf_frames, kf_corners, frame_idx = _run_pass1(
+        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale = _run_pass1(
             video, config, pattern, known_corners, metrics, init_carry, scan_chunk
         )
+        with metrics.stage("board_detect"):
+            # Batched post-pass detection (one device program + one readback
+            # for the whole keyframe set) + sequential orientation anchoring;
+            # boardless keyframes are dropped (processor.py:369-371).
+            kf_frames, kf_corners = _resolve_board_corners(
+                kf_frames, kf_corners, kf_small_dev, kf_small_host,
+                pattern, scale, config, metrics,
+            )
         n_kf = len(kf_frames)
+        metrics.count("keyframes", n_kf)
+        if n_kf < 3 and config.markerless_fallback and known_corners is None:
+            # Board-free video: re-run keyframe selection without the board
+            # gate; poses will bootstrap from essential-matrix RANSAC
+            # (up-to-scale output). The reference busy-loops forever here
+            # (processor.py:316-319).
+            markerless = True
+            logger.info(
+                "only %d board keyframes; falling back to marker-free path", n_kf
+            )
+            kf_frames, kf_corners, _, _, frame_idx, scale = _run_pass1(
+                video, config, pattern, None, metrics, init_carry, scan_chunk,
+                markerfree=True,
+            )
+            n_kf = len(kf_frames)
+            metrics.count("keyframes", n_kf)
+    if markerless:
+        metrics.count("markerless", True)
 
     if n_kf < 3:
         raise ValueError(
-            f"only {n_kf} keyframes with a visible chessboard; need >= 3 "
-            "(check the video shows the calibration target)"
+            f"only {n_kf} keyframes"
+            + (
+                ""
+                if markerless
+                else " with a visible chessboard"
+            )
+            + "; need >= 3 (check the video shows the calibration target,"
+            " or enough camera motion for the marker-free fallback)"
         )
     if n_kf > config.tracks.max_keyframes:
         raise ValueError(
@@ -546,7 +904,12 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
                 ckpt.save(
                     "keyframes",
                     greys=np.asarray(kf_stack, np.float32),
-                    corners=np.stack(kf_corners),
+                    # (n_kf, 0, 2) = the markerfree sentinel for resume.
+                    corners=(
+                        np.zeros((n_kf, 0, 2), np.float32)
+                        if markerless
+                        else np.stack(kf_corners)
+                    ),
                     frames_total=frame_idx,
                 )
 
@@ -600,110 +963,86 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         metrics.count("tracks", int(np.asarray(store.used).sum()))
 
     # ---- GEOMETRY ----
-    with metrics.stage("corner_refine"):
-        corners = jnp.asarray(np.stack(kf_corners))  # (F, N, 2)
-        corners = jax.vmap(
-            lambda g, c: chessboard.refine_corners_subpix(
-                g, c, win=config.chessboard.subpix_window, iters=config.chessboard.subpix_iters
+    h, w = kf_stack.shape[1:]
+    if markerless:
+        # Marker-free bootstrap: assumed pinhole K, poses chained from
+        # essential-matrix RANSAC between consecutive keyframes with
+        # track-based scale chaining. Output is up-to-scale.
+        focal = config.markerless_focal or 1.2 * max(int(w), int(h))
+        intr = jnp.asarray(
+            [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
+            jnp.float32,
+        )
+        dist_coefs = jnp.zeros(5, jnp.float32)
+        with metrics.stage("pose_chain"):
+            ext_refined, chain_inliers = _chain_keyframe_poses(
+                store, intr, n_kf
             )
-        )(kf_stack, corners)
+            metrics.count("pose_chain_inliers", chain_inliers)
+            numerics.check_finite("pose_chain", extrinsics=ext_refined)
+            projections = projection.projection_from_extrinsic(intr, ext_refined)
+    else:
+        with metrics.stage("corner_refine"):
+            corners = jnp.asarray(np.stack(kf_corners))  # (F, N, 2)
+            corners = jax.vmap(
+                lambda g, c: chessboard.refine_corners_subpix(
+                    g, c, win=config.chessboard.subpix_window, iters=config.chessboard.subpix_iters
+                )
+            )(kf_stack, corners)
 
-    with metrics.stage("calibration"):
-        h, w = kf_stack.shape[1:]
-        obj_z0 = calibration.chessboard_object_points(pattern, corners.dtype)
-        calib = calibration.calibrate(
-            corners,
-            obj_z0,
-            jnp.asarray([w, h], corners.dtype),
-            num_dist=config.chessboard.calib_num_dist,
-            fix_principal_point=config.chessboard.calib_fix_principal_point,
-            single_focal=config.chessboard.calib_single_focal,
-        )
-        metrics.count("calibration_rms_px", float(calib.rms))
-        numerics.check_finite("calibration", intrinsics=calib.intrinsics, dist=calib.dist)
+        with metrics.stage("calibration"):
+            obj_z0 = calibration.chessboard_object_points(pattern, corners.dtype)
+            calib = calibration.calibrate(
+                corners,
+                obj_z0,
+                jnp.asarray([w, h], corners.dtype),
+                num_dist=config.chessboard.calib_num_dist,
+                fix_principal_point=config.chessboard.calib_fix_principal_point,
+                single_focal=config.chessboard.calib_single_focal,
+            )
+            metrics.count("calibration_rms_px", float(calib.rms))
+            numerics.check_finite("calibration", intrinsics=calib.intrinsics, dist=calib.dist)
+            intr, dist_coefs = calib.intrinsics, calib.dist
 
-    with metrics.stage("pose_estimation"):
-        und_corners = jax.vmap(
-            lambda c: distortion.undistort_pixels(c, calib.intrinsics, calib.dist)
-        )(corners)
-        # The reference's pose board: X-Z plane scaled by side_length
-        # (processor.py:162-166).
-        side = config.chessboard.side_length
-        board_xz = jnp.zeros((n_corners, 3), corners.dtype)
-        board_xz = board_xz.at[:, 0].set(obj_z0[:, 0] * side)
-        board_xz = board_xz.at[:, 2].set(obj_z0[:, 1] * side)
-        poses = pnp.solve_pnp_batch(
-            board_xz[:, [0, 2]], (0, 2), board_xz, und_corners, calib.intrinsics
-        )
+        with metrics.stage("pose_estimation"):
+            side = config.chessboard.side_length
+            und_corners, poses = _make_pose_stage(side)(
+                corners, intr, dist_coefs, obj_z0
+            )
 
-    with metrics.stage("pose_ba"):
-        ext0 = projection.extrinsics_from_params(poses)
-        ext_refined, pose_ba_res = bundle_adjust.adjust_pose(
-            ext0,
-            calib.intrinsics,
-            und_corners.reshape(-1, 2),
-            pattern=pattern,
-            side_length=side,
-            config=config.solver,
-        )
-        metrics.count("pose_ba_rmse_px", float(pose_ba_res.rmse))
-        numerics.check_finite("pose_ba", extrinsics=ext_refined)
-        projections = projection.projection_from_extrinsic(calib.intrinsics, ext_refined)
+        with metrics.stage("pose_ba"):
+            ext0 = projection.extrinsics_from_params(poses)
+            # Tighter-than-global ftol: the pose-only problem is tiny (F
+            # independent 6-dof solves) and everything downstream —
+            # especially which marginal tracks pass the triangulation gate —
+            # is sensitive to where these poses land; at the reference's
+            # 1e-4 the LM stops a few percent short of the optimum at a
+            # damping-path-dependent point.
+            pose_cfg = dataclasses.replace(
+                config.solver,
+                ftol=min(config.solver.ftol, 1e-7),
+                max_iters=max(config.solver.max_iters, 100),
+            )
+            ext_refined, pose_ba_res = bundle_adjust.adjust_pose(
+                ext0,
+                intr,
+                und_corners.reshape(-1, 2),
+                pattern=pattern,
+                side_length=side,
+                config=pose_cfg,
+            )
+            metrics.count("pose_ba_rmse_px", float(pose_ba_res.rmse))
+            numerics.check_finite("pose_ba", extrinsics=ext_refined)
+            projections = projection.projection_from_extrinsic(intr, ext_refined)
 
     with metrics.stage("triangulation"):
-        # Undistort all track coordinates once; BA/triangulation are pinhole.
-        # (undistort_pixels broadcasts over any leading dims.)
-        coords_und = distortion.undistort_pixels(store.coords, calib.intrinsics, calib.dist)
-        store = store._replace(coords=coords_und)
-
-        first_kf, last_kf, first_xy, last_xy, tri_valid = tracks_mod.triangulation_endpoints(store)
-        if config.tracks.triangulation == "nview":
-            pts3d = triangulation.triangulate_nview(
-                projections, store.coords, store.obs_mask
-            )
-        else:
-            pts3d = triangulation.triangulate_pairs(
-                projections[first_kf], projections[last_kf], first_xy, last_xy
-            )
-        # Outlier gating the reference lacks entirely: drop tracks whose
-        # initial reprojection (triangulated point vs every observation)
-        # exceeds a few pixels — mismatched ORB pairs would otherwise drag
-        # the global BA (the role RANSAC plays in the north-star design).
-        finite = jnp.all(jnp.isfinite(pts3d), axis=1)
-        cam_params_ref = projection.params_from_extrinsics(ext_refined)
-        proj_all = projection.project_points(
-            pts3d[:, None, :],
-            cam_params_ref[None, :, :],
-            calib.intrinsics,
-        )  # (T, F, 2)
-        resid = jnp.linalg.norm(proj_all - store.coords, axis=-1)
-        # Scale-aware gate: a keypoint detected at pyramid octave o carries
-        # ~scale_factor**o px of positional uncertainty, so its legitimate
-        # residual is proportionally larger (ORB-SLAM's per-octave sigma) —
-        # applied per OBSERVATION, each against its own detection octave.
-        sigma_obs = jnp.float32(config.orb.scale_factor) ** store.octaves.astype(jnp.float32)
-        resid_norm = jnp.where(store.obs_mask, resid / sigma_obs, 0.0)
-        inlier = jnp.max(resid_norm, axis=1) < 4.0
-        # Minimum-parallax gate: at near-zero baseline the depth is
-        # unconstrained while the reprojection stays small, so the residual
-        # gate above cannot catch these — they are the points that blow up
-        # the hull volume.
-        min_par = config.tracks.min_parallax_deg
-        if min_par > 0:
-            rot = ext_refined[:, :3, :3]
-            centers = -jnp.einsum("fij,fi->fj", rot, ext_refined[:, :3, 3])  # (F, 3)
-            r1 = pts3d - centers[first_kf]
-            r2 = pts3d - centers[last_kf]
-            cosang = jnp.sum(r1 * r2, axis=1) / jnp.maximum(
-                jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1), 1e-12
-            )
-            inlier &= cosang < jnp.cos(jnp.deg2rad(min_par))
-        store = store._replace(points=jnp.where(finite[:, None], pts3d, 0.0))
-        tri_valid = tri_valid & finite & inlier
+        store, tri_valid, n_outlier, track_parallax = _make_triangulate_gate(
+            config.tracks.triangulation,
+            config.orb.scale_factor,
+            config.tracks.min_parallax_deg,
+        )(store, ext_refined, intr, dist_coefs, projections)
         metrics.count("triangulated", int(np.asarray(tri_valid).sum()))
-        metrics.count(
-            "outlier_tracks_dropped", int(np.asarray(finite & ~inlier).sum())
-        )
+        metrics.count("outlier_tracks_dropped", int(n_outlier))
 
     points, obs, fidx, pidx, track_ids, obs_octave = tracks_mod.to_ba_arrays(store)
     tri_valid_np = np.asarray(tri_valid)[track_ids]
@@ -717,6 +1056,9 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
     sum_per = np.bincount(pidx, weights=obs_sigma, minlength=len(tri_valid_np))
     sigma_mean = np.where(n_per > 0, sum_per / np.maximum(n_per, 1), np.inf)
     point_sigma = sigma_mean[tri_valid_np].astype(np.float32)
+    point_parallax = np.asarray(track_parallax)[track_ids][tri_valid_np].astype(
+        np.float32
+    )
     # Reindex after filtering.
     remap = -np.ones(len(tri_valid_np), np.int32)
     remap[np.nonzero(tri_valid_np)[0]] = np.arange(tri_valid_np.sum(), dtype=np.int32)
@@ -724,17 +1066,19 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
 
     return PreBA(
         ext_refined=ext_refined,
-        intrinsics=calib.intrinsics,
-        dist=calib.dist,
+        intrinsics=intr,
+        dist=dist_coefs,
         points=points,
         obs=obs,
         fidx=fidx,
         pidx=pidx,
         obs_weight=obs_weight,
         point_sigma=point_sigma,
+        point_parallax=point_parallax,
         n_kf=n_kf,
         image_size=(int(w), int(h)),
         frames_total=frame_idx,
+        markerless=markerless,
     )
 
 
@@ -767,7 +1111,11 @@ def process(
 
     Returns:
       ProcessResult — including the point cloud the reference promised but
-      never returned (``processor.py:303``).
+      never returned (``processor.py:303``). For board-free videos (with
+      ``config.markerless_fallback``) the reconstruction is **up-to-scale**
+      (monocular gauge, assumed K) and ``metrics["counters"]["markerless"]``
+      is set; the reference busy-loops forever on such input
+      (``processor.py:316-319``).
     """
     from meatmodeler_tpu.utils.checkpoint import StageCheckpointer
     from meatmodeler_tpu.utils.profiling import profile_run
@@ -850,6 +1198,8 @@ def _solve_and_finish(
         vol_hull, vol_carve, n_item = _estimate_volume(
             jnp.asarray(new_pts), pre.intrinsics, jnp.asarray(new_ext), n_kf, (w, h), config,
             point_sigma=pre.point_sigma,
+            point_parallax=pre.point_parallax,
+            use_plane=not pre.markerless,
         )
         metrics.count("item_points", n_item)
         metrics.count("volume_hull", vol_hull)
@@ -873,13 +1223,22 @@ def _solve_and_finish(
     )
 
 
-def _estimate_volume(pts_j, intrinsics, ext4, n_kf, image_size, config, point_sigma=None):
+def _estimate_volume(
+    pts_j, intrinsics, ext4, n_kf, image_size, config, point_sigma=None,
+    point_parallax=None, use_plane=True,
+):
     """Hull + carved volume of the item points; NaNs when too few points.
 
     ``point_sigma``: per-point positional uncertainty (octave sigma). The
     hull/carve estimators are set entirely by extreme points, so
     coarse-octave points (uncertainty of several px -> large depth noise)
     are excluded from the volume point set — they still served pose/BA.
+    ``point_parallax``: per-point endpoint-ray parallax (deg); depth noise
+    scales as 1/parallax, so low-parallax points are likewise excluded
+    (config.volume.min_parallax_deg — stabilizes the hull against the
+    marginal tracks whose inclusion flips run-to-run).
+    ``use_plane=False``: marker-free world frame, no board plane to gate on
+    (the volume is then in the arbitrary monocular gauge's units^3).
     """
     w, h = image_size
     pmask = jnp.ones(pts_j.shape[0], bool)
@@ -887,8 +1246,14 @@ def _estimate_volume(pts_j, intrinsics, ext4, n_kf, image_size, config, point_si
         precise = jnp.asarray(point_sigma) <= config.volume.max_point_sigma
         # Fall back to all points if the precise subset is too thin.
         pmask = jnp.where(jnp.sum(precise) >= 32, precise, pmask)
-    item_mask = volume_mod.split_item_points(pts_j, pmask)
-    have_item = bool(np.asarray(item_mask).sum() >= 8)
+    if point_parallax is not None and config.volume.min_parallax_deg > 0:
+        certain = pmask & (
+            jnp.asarray(point_parallax) >= config.volume.min_parallax_deg
+        )
+        pmask = jnp.where(jnp.sum(certain) >= 32, certain, pmask)
+    item_mask = volume_mod.split_item_points(pts_j, pmask, use_plane=use_plane)
+    n_item = int(np.asarray(item_mask).sum())
+    have_item = n_item >= 8
     if have_item:
         vol_hull = float(
             volume_mod.convex_hull_volume(

@@ -24,6 +24,14 @@ is dense blocks batched on the MXU:
 Static shapes: observation arrays carry a validity mask so problems of any
 size fit a compiled capacity. The whole solve is one XLA program.
 
+Memory banding: the solver's peak term is the dense Schur strip
+``a`` (P, F, 6, 3) plus its V^-1 product — ~2 * P * F * 72 bytes
+(10k points x 100 cameras -> ~144 MB; 100k x 100 -> ~1.4 GB, still inside a
+v5e's 16 GB HBM). Problems beyond a single core's band shard their points
+across the mesh via ``parallel.sharded.solve_ba_point_sharded`` (SURVEY
+§5.7), which divides the strip by the mesh size and psum-reduces only the
+camera-sized (6F x 6F) system.
+
 Public entry points mirror the reference: ``adjust_points``
 (``bundleAdjuster.py:160``) and ``adjust_pose`` (``bundleAdjuster.py:214``).
 """

@@ -32,11 +32,13 @@ import numpy as np
 __all__ = ["split_item_points", "convex_hull_volume", "carved_volume"]
 
 
+@partial(jax.jit, static_argnames=("plane_margin", "knn", "use_plane"))
 def split_item_points(
     points: jax.Array,
     mask: jax.Array,
     plane_margin: float = 0.3,
     knn: int = 6,
+    use_plane: bool = True,
 ):
     """Mask of points belonging to the item: above the board plane
     (y < -margin), densely clustered, and not part of a far tail.
@@ -49,8 +51,12 @@ def split_item_points(
          distance matrix — an MXU matmul at these sizes.)
       2. median +- MAD on distance-to-centroid, which unlike quantiles does
          not move into a fat tail.
+
+    ``use_plane=False`` skips the board-plane gate — the marker-free path,
+    where the world frame is keyframe 0's camera (no y = 0 plane exists);
+    the density and MAD gates then do all the splitting.
     """
-    above = points[:, 1] < -plane_margin
+    above = points[:, 1] < -plane_margin if use_plane else jnp.ones(points.shape[0], bool)
     keep = mask & above
     n_keep = jnp.maximum(jnp.sum(keep), 1)
 
@@ -192,8 +198,11 @@ def carved_volume(
     # (the item projects ~hundreds of px wide at 1080p) or, made large
     # enough to bridge them, inflates every silhouette boundary. Closing
     # (dilate THEN erode) bridges gaps up to twice this radius while
-    # returning the outline to the points' envelope.
-    close_rad = max(56 // gs, 2 * rad)
+    # returning the outline to the points' envelope. RESOLUTION-RELATIVE:
+    # ~3% of the long image side (56 px at 1080p); a fixed pixel radius
+    # over-closes small images into blob silhouettes (measured 2-3x carve
+    # overcount at 400x300) and under-closes at 4K.
+    close_rad = max(round(0.029 * max(w, h)) // gs, 2 * rad)
 
     def silhouette(projmat):
         uvw = homog @ projmat.T  # (P, 3)

@@ -53,9 +53,13 @@ def test_pipelined_single_device_fallback(clips):
 
 
 def test_pipelined_propagates_errors():
+    # Pure-noise frames: board detection fails AND the marker-free
+    # bootstrap finds no epipolar inliers, so the pipeline raises a
+    # described error either way (never the reference's infinite loop,
+    # processor.py:316-319) and the pipelined path must propagate it.
     rng = np.random.default_rng(0)
     boardless = rng.integers(0, 255, size=(10, 120, 160, 3), dtype=np.uint8)
-    with pytest.raises(ValueError, match="chessboard"):
+    with pytest.raises(ValueError, match="chessboard|marker-free"):
         process_batch_pipelined([boardless], config=CFG)
 
 
