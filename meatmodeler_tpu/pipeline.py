@@ -317,6 +317,9 @@ def _make_triangulate_gate(tri_mode: str, scale_factor: float, min_parallax_deg:
     return run
 
 
+_WARMED: set = set()
+
+
 def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
     """Dispatch compilation of the big pass-2 programs on dummy data.
 
@@ -326,6 +329,12 @@ def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
     as soon as the first chunk arrives. Overlapping the compile with pass-1
     streaming removes it from the cold critical path.
     """
+    key = (config.orb, config.pass2_enhance, grey_shape)
+    if key in _WARMED:
+        # Programs already compiled this process: a repeat dummy execution
+        # would cost ~3 s of device occupancy that pass 1's first scan
+        # chunks then queue behind on every warm run.
+        return
     try:
         h, w = grey_shape
         zeros = jnp.zeros((_ORB_MINIBATCH, h, w), jnp.float32)
@@ -335,6 +344,7 @@ def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
             _clahe_grey_batch(zeros)
         run_orb = _make_orb_minibatch(config.orb)
         jax.block_until_ready(run_orb(zeros))
+        _WARMED.add(key)
         logger.debug("pass-2 warmup complete")
     except Exception:  # pragma: no cover — warmup must never break the run
         logger.debug("pass-2 warmup failed", exc_info=True)
