@@ -140,6 +140,13 @@ class TrackConfig:
     # the reprojection at small parallax) and inflate the hull volume
     # cubically. 0 disables.
     min_parallax_deg: float = 1.0
+    # Track-consistency (inlier) gate: a triangulated track is kept only if
+    # its worst octave-normalized reprojection residual is below this many
+    # FULL-resolution pixels (the role RANSAC plays in the north-star
+    # design; the reference has no outlier handling at all). Denominated in
+    # full-res px so downscaled pass-2 keyframes (pass2_downscale) keep
+    # full-res-equivalent track quality.
+    max_reproj_px: float = 4.0
     # Initial triangulation: "nview" (default) solves the masked DLT over
     # ALL of a track's observations; "endpoints" reproduces the reference's
     # first+last widest-baseline policy (track.py:30-32), which feeds middle
@@ -217,6 +224,17 @@ class PipelineConfig:
 
     def __post_init__(self):
         _check_choice("pass2_enhance", self.pass2_enhance, ("bgr_lab", "grey"))
+        _check_choice("pass1_backend", self.pass1_backend, ("device", "host"))
+    # Pass-1 execution backend: "device" streams every downscaled frame to
+    # the device and runs the lax.scan keyframe program; "host" runs the
+    # IDENTICAL selection state machine in native C++ (io/native_pass1.py)
+    # so only selected keyframes ever cross the host->device link. The
+    # device scan is the default (the selection math belongs on the TPU
+    # when the link runs at nominal PCIe rates); "host" is for deployments
+    # where a throttled/tunneled link, not compute, bounds throughput —
+    # pass 1's stream is ~60 MB per 300 frames of 1080p vs ~10 MB of
+    # selected keyframes.
+    pass1_backend: str = "device"
     # Marker-free fallback (north-star RANSAC requirement): when fewer than 3
     # keyframes show the calibration board, re-run keyframe selection without
     # the board gate and bootstrap poses from chained essential-matrix RANSAC

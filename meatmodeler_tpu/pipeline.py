@@ -259,8 +259,18 @@ def _make_pose_stage(side_length: float):
 
 
 @functools.lru_cache(maxsize=8)
-def _make_triangulate_gate(tri_mode: str, scale_factor: float, min_parallax_deg: float):
-    """One jitted program for the triangulation + outlier-gating stage."""
+def _make_triangulate_gate(
+    tri_mode: str, scale_factor: float, min_parallax_deg: float,
+    reproj_gate: float = 4.0,
+):
+    """One jitted program for the triangulation + outlier-gating stage.
+
+    ``reproj_gate``: inlier threshold in the WORKING resolution's pixels
+    (callers divide the full-res-denominated config value by kf_scale, so
+    downscaled keyframes keep full-res-equivalent track consistency — the
+    gate admitting 2x-looser tracks was the dominant volume-noise source at
+    pass2_downscale=2).
+    """
 
     @jax.jit
     def run(store, ext_refined, intr, dist_coefs, projections):
@@ -295,7 +305,7 @@ def _make_triangulate_gate(tri_mode: str, scale_factor: float, min_parallax_deg:
         # applied per OBSERVATION, each against its own detection octave.
         sigma_obs = jnp.float32(scale_factor) ** store.octaves.astype(jnp.float32)
         resid_norm = jnp.where(store.obs_mask, resid / sigma_obs, 0.0)
-        inlier = jnp.max(resid_norm, axis=1) < 4.0
+        inlier = jnp.max(resid_norm, axis=1) < reproj_gate
         # Per-track parallax between the endpoint rays: depth noise scales as
         # 1/parallax, so this both gates BA inclusion (below) and is exported
         # for the volume estimators' stronger gate (low-parallax tracks pass
@@ -407,6 +417,9 @@ def _make_board_detect_batch(pattern, max_candidates, tol):
 
     @jax.jit
     def run(stack):
+        # uint8 stacks arrive from the host pass-1 backend (CLAHE'd smalls
+        # round-trip as one byte per pixel); the detector math is float.
+        stack = stack.astype(jnp.float32)
         return jax.vmap(
             lambda g: board_detect.find_chessboard_device(
                 g, pattern=pattern, max_candidates=max_candidates, tol=tol
@@ -718,6 +731,166 @@ def _run_pass1(
     )
 
 
+def _run_pass1_host(
+    video, config, pattern, known_corners, metrics, markerfree: bool = False,
+):
+    """PASS 1 on the host CPU (``config.pass1_backend="host"``).
+
+    Same contract and return tuple as :func:`_run_pass1`, but the keyframe
+    state machine runs in native C++ (``io/native_pass1.py`` over
+    ``native/pass1.cpp``) and the per-frame stream NEVER touches the device:
+    only selected keyframes upload (at 1080p: ~60 MB of downscaled stream
+    bytes vs ~10 MB of half-res keyframes), plus one byte-per-pixel CLAHE'd
+    small per keyframe for the batched device board detection. For links
+    that burst-throttle this converts pass 1 from link-bound to
+    compute-bound (~5 ms/frame of scalar C++).
+
+    Keyframe uploads run on a single worker thread so they overlap the next
+    chunk's decimation + scan; the pass-2 compile warmup thread starts on
+    the first chunk exactly as in the device driver.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from meatmodeler_tpu.io.native_pass1 import HostPass1Scanner
+
+    source = video_mod.FrameSource(video)
+    scale = config.pass1_downscale
+    p2s_box = [config.pass2_downscale]
+    with metrics.stage("pass1_keyframes"):
+        frame_idx = 0
+        kf_frames = []  # DEVICE keyframes (1/p2s res; BGR or grey per mode)
+        kf_corners = []  # known/bootstrap corners (full-res px) or None
+        kf_small_dev = []  # HOST uint8 CLAHE'd smalls (uploaded in one batch
+        #                    by the device board detector if it runs)
+        kf_small_host = []  # raw downscaled host grey per keyframe
+        target_device = jax.default_device.value
+        scanner = None
+        warm_thread = None
+        executor = ThreadPoolExecutor(max_workers=1)
+        futures = []
+
+        def retain_keyframe(frame_host, small_enh, small_host, corners):
+            p2s = p2s_box[0] or 1
+            frame_host = np.asarray(frame_host)
+            if config.pass2_enhance == "grey" and frame_host.ndim == 3:
+                frame_host = native_ops.bgr_to_grey_down(frame_host[None], p2s)[0]
+            elif p2s > 1:
+                oh, ow = frame_host.shape[0] // p2s, frame_host.shape[1] // p2s
+                frame_host = frame_host[: oh * p2s : p2s, : ow * p2s : p2s]
+            kf_frames.append(
+                jax.device_put(np.ascontiguousarray(frame_host), target_device)
+            )
+            kf_corners.append(corners)
+            kf_small_dev.append(
+                np.clip(np.round(small_enh), 0, 255).astype(np.uint8)
+            )
+            kf_small_host.append(np.ascontiguousarray(small_host))
+
+        def known_of(global_idx):
+            return chessboard.canonicalize_corners(
+                np.asarray(known_corners[global_idx], np.float32), pattern
+            )
+
+        def resolve(flags, enhanced, grey_host, chunk_host, idx0):
+            for i in np.nonzero(flags)[0]:
+                c = known_of(idx0 + int(i)) if known_corners is not None else None
+                retain_keyframe(chunk_host[i], enhanced[i], grey_host[i], c)
+
+        for chunk in source.chunks(config.frame_chunk):
+            if scale == 0:  # auto (resolve on first chunk)
+                min_dim = min(chunk.shape[1], chunk.shape[2])
+                scale = 4 if min_dim >= 1060 else 2 if min_dim >= 720 else 1
+            if p2s_box[0] == 0:
+                min_dim = min(chunk.shape[1], chunk.shape[2])
+                p2s_box[0] = 2 if min_dim >= 1060 else 1
+            if warm_thread is None:
+                import threading
+
+                p2s = p2s_box[0]
+                warm_thread = threading.Thread(
+                    target=_warm_pass2,
+                    args=(config, (chunk.shape[1] // p2s, chunk.shape[2] // p2s)),
+                    daemon=True,
+                )
+                warm_thread.start()
+            real_len = len(chunk)
+            t_d0 = _time.perf_counter()
+            if chunk.ndim == 4:
+                grey_host = native_ops.bgr_to_grey_down(chunk, scale)
+            else:
+                grey_host = np.ascontiguousarray(chunk[:, ::scale, ::scale])
+            metrics.add("pass1_decim_s", _time.perf_counter() - t_d0)
+            if scanner is None:
+                scanner = HostPass1Scanner(
+                    config, grey_host.shape[1], grey_host.shape[2],
+                    full_width=chunk.shape[2],
+                )
+
+            idx0 = frame_idx
+            frame_idx += real_len
+            bootstrap_at = -1
+            boot_corners = None
+            if not scanner.initialized:
+                # Discard leading frames until the chessboard is visible
+                # (processor.py:315-319); marker-free / known-corner modes
+                # bootstrap at frame 0.
+                start = None
+                if markerfree or known_corners is not None:
+                    start = 0
+                    if known_corners is not None:
+                        boot_corners = known_of(idx0)
+                else:
+                    for i in range(real_len):
+                        c0 = _detect_board_host(grey_host[i], pattern, scale)
+                        if c0 is None and scale > 1:
+                            frame = np.asarray(chunk[i])
+                            grey_full = (
+                                native_ops.bgr_to_grey_down(frame[None], 1)[0]
+                                if frame.ndim == 3
+                                else frame
+                            )
+                            c0 = _detect_board_host(grey_full, pattern, 1)
+                        if c0 is not None:
+                            start = i
+                            boot_corners = c0
+                            break
+                if start is None:
+                    continue
+                bootstrap_at = start
+
+            t_s0 = _time.perf_counter()
+            flags, enhanced = scanner.scan(
+                grey_host[:real_len], bootstrap_at=bootstrap_at
+            )
+            metrics.add("pass1_host_scan_s", _time.perf_counter() - t_s0)
+            if bootstrap_at >= 0:
+                # The bootstrap frame is always a keyframe (reference seeds
+                # its state there); retained on the main thread — no resolve
+                # task has been submitted yet, so ordering holds.
+                retain_keyframe(
+                    chunk[bootstrap_at], enhanced[bootstrap_at],
+                    grey_host[bootstrap_at], boot_corners,
+                )
+                flags[: bootstrap_at + 1] = False
+            futures.append(
+                executor.submit(resolve, flags, enhanced, grey_host, chunk, idx0)
+            )
+
+        t_w0 = _time.perf_counter()
+        executor.shutdown(wait=True)
+        metrics.add("pass1_drain_s", _time.perf_counter() - t_w0)
+        for fut in futures:
+            fut.result()
+
+        metrics.count("frames_total", frame_idx)
+        metrics.count("keyframes_selected", len(kf_frames))
+    return (
+        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale,
+        p2s_box[0] or 1,
+    )
+
+
 # --------------------------------------------------------------------------
 # marker-free pose bootstrap
 # --------------------------------------------------------------------------
@@ -843,7 +1016,20 @@ class PreBA(NamedTuple):
 def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
     """PASS 1 + PASS 2 + geometry up to (but excluding) the global BA."""
     pattern = config.chessboard.pattern
-    init_carry, scan_chunk = _make_keyframe_scan(config)
+    if config.pass1_backend == "host":
+        # Native host scan: no device scan programs to build or compile.
+        def run_pass1(markerfree=False, known=known_corners):
+            return _run_pass1_host(
+                video, config, pattern, known, metrics, markerfree=markerfree
+            )
+    else:
+        init_carry, scan_chunk = _make_keyframe_scan(config)
+
+        def run_pass1(markerfree=False, known=known_corners):
+            return _run_pass1(
+                video, config, pattern, known, metrics, init_carry, scan_chunk,
+                markerfree=markerfree,
+            )
 
     # ---- PASS 1: stream chunks, select keyframes ----
     kf_stack = None
@@ -864,9 +1050,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         metrics.count("keyframes", n_kf)
     else:
         kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale, p2s = (
-            _run_pass1(
-                video, config, pattern, known_corners, metrics, init_carry, scan_chunk
-            )
+            run_pass1()
         )
         with metrics.stage("board_detect"):
             # Batched post-pass detection (one device program + one readback
@@ -887,9 +1071,8 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             logger.info(
                 "only %d board keyframes; falling back to marker-free path", n_kf
             )
-            kf_frames, kf_corners, _, _, frame_idx, scale, p2s = _run_pass1(
-                video, config, pattern, None, metrics, init_carry, scan_chunk,
-                markerfree=True,
+            kf_frames, kf_corners, _, _, frame_idx, scale, p2s = run_pass1(
+                markerfree=True, known=None,
             )
             n_kf = len(kf_frames)
             metrics.count("keyframes", n_kf)
@@ -1079,6 +1262,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             config.tracks.triangulation,
             config.orb.scale_factor,
             config.tracks.min_parallax_deg,
+            reproj_gate=config.tracks.max_reproj_px / p2s,
         )(store, ext_refined, intr, dist_coefs, projections)
         metrics.count("triangulated", int(np.asarray(tri_valid).sum()))
         metrics.count("outlier_tracks_dropped", int(n_outlier))
