@@ -71,6 +71,7 @@ def bench_config():
         MatcherConfig,
         OrbConfig,
         TrackConfig,
+        VolumeConfig,
     )
 
     return dataclasses.replace(
@@ -82,15 +83,34 @@ def bench_config():
         keyframe=dataclasses.replace(KeyframeConfig(), threshold=0.05),
         orb=OrbConfig(num_features=4096, num_levels=4),
         matcher=MatcherConfig(max_matches=2048),
+        # Measured at half-res working resolution (sweep on this clip,
+        # checkpointed reconstruction): closing 0.015 of the long side +
+        # 0.9 view agreement puts the carve at -6% of analytic truth
+        # (defaults: +114%); the hull sits at +2% with max_reproj_px=3.
+        volume=dataclasses.replace(
+            VolumeConfig(), carve_close_frac=0.015, carve_vote_frac=0.9
+        ),
         # nview: init from ALL observations — tighter cloud, better volume
         # (+7% vs truth against +16% for the endpoints policy), same RMSE.
-        tracks=TrackConfig(max_tracks=8192, max_keyframes=64, triangulation="nview"),
+        tracks=TrackConfig(
+            max_tracks=8192,
+            max_keyframes=64,
+            triangulation="nview",
+            # Full-res-equivalent track consistency at half-res keyframes;
+            # measured on this clip: hull volume error +57% -> +2%, RMSE
+            # 1.05 -> 0.82 (half-res px).
+            max_reproj_px=3.0,
+        ),
         frame_chunk=32,
         # The host->device link (not the chip) is the e2e bottleneck: it
         # burst-throttles on sustained volume, so every knob below trades
-        # image resolution the reconstruction doesn't need for bytes.
-        # Pass 1 at 1/6 resolution: measured same keyframe density class as
-        # 1/4 (20 vs 21 kf), equal RMSE/volume, 2.25x fewer stream bytes.
+        # bytes for image resolution the reconstruction doesn't need.
+        # Host-native pass 1: the keyframe scan runs in C++ on the host
+        # (~5 ms/frame) and NOTHING streams to the device — only selected
+        # keyframes upload. Removes the per-frame stream (~39 MB at /4,
+        # and with it the link-throttle lottery) from the critical path;
+        # measured exact downstream parity with the device scan.
+        pass1_backend="host",
         pass1_downscale=6,
         # Keyframes ship as HALF-res grey (one byte per 4 full-res px):
         # CLAHE on BT.601 luma instead of LAB lightness — equivalent on

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     parser.add_argument("--keyframe-threshold", type=float, default=None, help="keyframe accumulation threshold (reference default 0.1; smaller = denser)")
     parser.add_argument("--incremental", action="store_true", help="online BA after every keyframe (the reference's intended design)")
     parser.add_argument("--detector", choices=("auto", "device", "host"), default=None, help="chessboard detector: on-device saddle+grid-fit, host cv2, or auto (device with host fallback)")
+    parser.add_argument("--pass1-backend", choices=("device", "host"), default=None, help="keyframe-selection backend: the device lax.scan program, or the native C++ host scan (only keyframes cross the host->device link)")
+    parser.add_argument("--pass1-downscale", type=int, default=None, help="pass-1 working-resolution divisor (0 = auto)")
+    parser.add_argument("--pass2-downscale", type=int, default=None, help="keyframe (pass-2) resolution divisor; image-plane outputs land in the downscaled pixel units (0 = auto)")
     parser.add_argument("--checkpoint-dir", default=None, help="persist per-stage artifacts; re-runs resume")
     parser.add_argument("--json", action="store_true", help="print metrics as JSON")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -91,6 +94,12 @@ def main(argv=None) -> int:
         config = dataclasses.replace(
             config, chessboard=dataclasses.replace(config.chessboard, detector=args.detector)
         )
+    if args.pass1_backend is not None:
+        config = dataclasses.replace(config, pass1_backend=args.pass1_backend)
+    if args.pass1_downscale is not None:
+        config = dataclasses.replace(config, pass1_downscale=args.pass1_downscale)
+    if args.pass2_downscale is not None:
+        config = dataclasses.replace(config, pass2_downscale=args.pass2_downscale)
 
     if args.warmup is not None:
         return _warmup(tuple(args.warmup), config)

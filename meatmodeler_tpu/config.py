@@ -165,6 +165,15 @@ class VolumeConfig:
 
     voxel_resolution: int = 128
     carve_dilation: int = 5  # pixels of dilation around projected points
+    # Morphological closing radius for the carve silhouettes, as a fraction
+    # of the working image's long side (bridges gaps between sparse feature
+    # splats; see volume.carved_volume). Smaller = tighter silhouettes;
+    # sparse/noisy clouds need more closing.
+    carve_close_frac: float = 0.029
+    # A voxel survives carving when this fraction of views agree it is
+    # inside their silhouette (1.0 = strict intersection; lower tolerates
+    # per-view coverage holes from textureless boundaries).
+    carve_vote_frac: float = 0.8
     # Exclude points whose octave sigma (scale_factor**octave px) exceeds
     # this from the volume estimators — hull/carve are set by extreme
     # points, and coarse-pyramid detections carry multi-px position noise

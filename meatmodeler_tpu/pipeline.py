@@ -1496,7 +1496,12 @@ def _estimate_volume(
                 resolution=config.volume.voxel_resolution,
                 # carve_dilation is denominated in FULL-resolution pixels;
                 # the projections here are in working-res (1/kf_scale) units.
+                # The silhouette grid step likewise shrinks so its full-res-
+                # equivalent granularity stays constant.
                 dilation=max(1, round(config.volume.carve_dilation / kf_scale)),
+                grid_step=max(1, 4 // kf_scale),
+                close_frac=config.volume.carve_close_frac,
+                vote_frac=config.volume.carve_vote_frac,
             )
         )
     else:

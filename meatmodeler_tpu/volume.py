@@ -150,7 +150,13 @@ def convex_hull_volume(
     return jnp.sum(inside) * voxel_vol
 
 
-@partial(jax.jit, static_argnames=("resolution", "dilation", "image_size"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "resolution", "dilation", "image_size", "grid_step", "close_frac",
+        "vote_frac",
+    ),
+)
 def carved_volume(
     points: jax.Array,
     mask: jax.Array,
@@ -159,6 +165,9 @@ def carved_volume(
     image_size: Tuple[int, int],
     resolution: int = 64,
     dilation: int = 9,
+    grid_step: int = 4,
+    close_frac: float = 0.029,
+    vote_frac: float = 0.8,
 ) -> jax.Array:
     """Voxel carving against splatted-and-dilated point silhouettes.
 
@@ -188,8 +197,11 @@ def carved_volume(
 
     homog = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=1)  # (P, 4)
 
-    # Low-res silhouette grids (W/4 x H/4) keep memory tiny; dilation scales.
-    gs = 4
+    # Low-res silhouette grids (W/grid_step x H/grid_step) keep memory tiny;
+    # dilation scales. grid_step is in the projections' (working-res) pixel
+    # units — callers processing downscaled keyframes shrink it to keep the
+    # grid's FULL-res-equivalent granularity constant.
+    gs = grid_step
     gw, gh = w // gs, h // gs
     rad = max(dilation // gs, 1)
 
@@ -202,7 +214,7 @@ def carved_volume(
     # ~3% of the long image side (56 px at 1080p); a fixed pixel radius
     # over-closes small images into blob silhouettes (measured 2-3x carve
     # overcount at 400x300) and under-closes at 4K.
-    close_rad = max(round(0.029 * max(w, h)) // gs, 2 * rad)
+    close_rad = max(round(close_frac * max(w, h)) // gs, 2 * rad)
 
     def silhouette(projmat):
         uvw = homog @ projmat.T  # (P, 3)
@@ -266,6 +278,6 @@ def carved_volume(
     # view agrees on).
     n_active = jnp.maximum(jnp.sum(proj_mask), 1)
     votes = jnp.sum(keeps & proj_mask[:, None], axis=0)
-    inside = votes >= jnp.ceil(0.8 * n_active).astype(votes.dtype)
+    inside = votes >= jnp.ceil(vote_frac * n_active).astype(votes.dtype)
     voxel_vol = jnp.prod(extent) / (r**3)
     return jnp.sum(inside) * voxel_vol
