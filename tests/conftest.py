@@ -28,9 +28,33 @@ jax.config.update("jax_enable_x64", True)
 # Persistent XLA compilation cache for the CPU test backend: the suite's
 # wall-clock is dominated by recompiling the same programs every run on the
 # single throttled host core (~40 min cold). Cached, repeat runs reuse them.
+#
+# KEYED PER MACHINE: XLA's CPU AOT loader does not key cache entries on the
+# host's CPU features — an entry compiled on a machine with (say) AMX/
+# prefer-no-gather loads on a host without them and can die with SIGILL
+# mid-suite (observed: cpu_aot_loader.cc "Target machine feature ... is not
+# supported on the host machine", then a fatal crash). Hashing the cpuinfo
+# flags into the directory name gives each machine class its own cache.
+def _machine_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:8]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".cache", "jax-cpu"),
+    os.path.join(
+        os.path.dirname(__file__), "..", ".cache", f"jax-cpu-{_machine_tag()}"
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # CPU needs these two explicitly; without them nothing is ever written.
