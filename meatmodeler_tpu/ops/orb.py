@@ -26,6 +26,7 @@ parity is held downstream (matches -> poses -> RMSE), not bit-for-bit.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -35,7 +36,7 @@ import numpy as np
 
 from meatmodeler_tpu.ops import features as feat
 
-__all__ = ["OrbFeatures", "fast_score", "detect_and_compute"]
+__all__ = ["OrbFeatures", "fast_score", "detect_and_compute", "brief_bin_weights"]
 
 # 16-point Bresenham circle of radius 3, clockwise from 12 o'clock
 # (dy, dx) offsets — the standard FAST ring geometry.
@@ -160,10 +161,30 @@ def _make_bin_weights() -> np.ndarray:
     return w.reshape(_NBINS * 512, _DPATCH * _DPATCH)
 
 
-_BIN_WEIGHTS = jnp.asarray(_make_bin_weights(), jnp.bfloat16)
+_BIN_WEIGHTS_NP = _make_bin_weights()  # host-side; see brief_bin_weights()
 
 
-def _describe(blurred: jax.Array, xy: jax.Array, angle: jax.Array, mask: jax.Array) -> jax.Array:
+@functools.lru_cache(maxsize=1)
+def brief_bin_weights() -> jax.Array:
+    """The (30*512, DPATCH^2) sampling-weight matrix as a DEVICE array.
+
+    Always thread this through jit boundaries as a real argument (see
+    ``detect_and_compute``'s ``bin_weights``): closing over it inside a
+    traced function embeds all 52 MB as an HLO literal, which alone costs
+    ~70 s of lowering plus ~70 s of backend compile PER PYRAMID LEVEL
+    (measured, tools/compile_probe.py) — the dominant term of the 390 s
+    cold ORB compile in round 1.
+    """
+    return jnp.asarray(_BIN_WEIGHTS_NP, jnp.bfloat16)
+
+
+def _describe(
+    blurred: jax.Array,
+    xy: jax.Array,
+    angle: jax.Array,
+    mask: jax.Array,
+    bin_weights: jax.Array,
+) -> jax.Array:
     """Steered BRIEF bits via the binned sampling matmul."""
     n = xy.shape[0]
     padded = jnp.pad(blurred, _DHALF + 1, mode="edge")
@@ -178,7 +199,7 @@ def _describe(blurred: jax.Array, xy: jax.Array, angle: jax.Array, mask: jax.Arr
 
     # (30*512, P2) @ (P2, N) -> (30*512, N): one MXU matmul for everything.
     sampled = jax.lax.dot_general(
-        _BIN_WEIGHTS.astype(jnp.bfloat16),
+        bin_weights.astype(jnp.bfloat16),
         patches.astype(jnp.bfloat16).T,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -208,16 +229,13 @@ def _gauss7(img: jax.Array) -> jax.Array:
     return sum(g[i] * p[:, i : i + img.shape[1]] for i in range(7))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_features", "num_levels", "scale_factor", "fast_threshold"),
-)
 def detect_and_compute(
     img: jax.Array,
     max_features: int = 4096,
     num_levels: int = 4,
     scale_factor: float = 1.2,
     fast_threshold: float = 20.0,
+    bin_weights: jax.Array | None = None,
 ) -> OrbFeatures:
     """Oriented-FAST detection + rBRIEF description over a scale pyramid.
 
@@ -228,11 +246,40 @@ def detect_and_compute(
       num_levels: pyramid levels, scale 1.2 (ORB defaults 8; 4 covers the
         turntable videos and halves the work).
       fast_threshold: FAST intensity threshold.
+      bin_weights: the ``brief_bin_weights()`` matrix. Callers wrapping this
+        function in their OWN ``jax.jit`` must obtain it outside the trace
+        and thread it through as an argument — leaving it None inside a
+        trace silently embeds the 52 MB matrix as an HLO constant and costs
+        minutes of compile time (see ``brief_bin_weights``).
 
     Returns:
       OrbFeatures with per-keypoint position (level-0 pixels), response,
       angle, octave, (256,) int8 bit descriptor, and validity mask.
     """
+    if bin_weights is None:
+        bin_weights = brief_bin_weights()
+    return _detect_and_compute(
+        img,
+        bin_weights,
+        max_features=max_features,
+        num_levels=num_levels,
+        scale_factor=scale_factor,
+        fast_threshold=fast_threshold,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_features", "num_levels", "scale_factor", "fast_threshold"),
+)
+def _detect_and_compute(
+    img: jax.Array,
+    bin_weights: jax.Array,
+    max_features: int,
+    num_levels: int,
+    scale_factor: float,
+    fast_threshold: float,
+) -> OrbFeatures:
     img = jnp.asarray(img)
     # Geometric per-level budget, like ORB's feature distribution.
     inv_total = (1.0 - 1.0 / scale_factor) / (1.0 - (1.0 / scale_factor) ** num_levels)
@@ -267,7 +314,14 @@ def detect_and_compute(
             & (xx >= margin) & (xx < w - margin)
         )
         flat = jnp.where(ok, resp, -jnp.inf).reshape(-1)
-        top_resp, top_idx = jax.lax.top_k(flat, k)
+        # approx_max_k: TPU-native approximate top-k (recall ~0.95 against
+        # exact at these shapes) — compiles 5x faster than lax.top_k on the
+        # Mosaic backend (measured: 38 s -> 7.6 s per level) and runs faster.
+        # Corner selection tolerates approximation: a missed corner is just a
+        # marginally weaker keypoint set, and capacity k usually exceeds the
+        # number of true corners anyway. Exact on CPU (sort fallback).
+        top_resp, top_idx = jax.lax.approx_max_k(flat, k)
+        top_idx = top_idx.astype(jnp.int32)
         kxy = jnp.stack(
             [(top_idx % w).astype(jnp.float32), (top_idx // w).astype(jnp.float32)],
             axis=-1,
@@ -276,7 +330,7 @@ def detect_and_compute(
 
         angle = _orientation(level_img, kxy, kmask)
         blurred = _gauss7(level_img)
-        desc = _describe(blurred, kxy, angle, kmask)
+        desc = _describe(blurred, kxy, angle, kmask, bin_weights)
 
         lvl_scale = scale_factor**lvl
         outs.append(

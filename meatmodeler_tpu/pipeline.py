@@ -212,10 +212,15 @@ _ORB_MINIBATCH = 4
 
 @functools.lru_cache(maxsize=8)
 def _make_orb_minibatch(orb_cfg):
-    """One jitted ORB program over a fixed (_ORB_MINIBATCH, H, W) stack."""
+    """One jitted ORB program over a fixed (_ORB_MINIBATCH, H, W) stack.
+
+    The BRIEF sampling-weight matrix is threaded through the jit boundary as
+    a runtime argument — closing over it would embed 52 MB of HLO constants
+    per pyramid level and dominate the cold compile (orb.brief_bin_weights).
+    """
 
     @jax.jit
-    def run(stack):
+    def run(stack, bin_weights):
         return jax.vmap(
             lambda g: orb.detect_and_compute(
                 g,
@@ -223,10 +228,11 @@ def _make_orb_minibatch(orb_cfg):
                 num_levels=orb_cfg.num_levels,
                 scale_factor=orb_cfg.scale_factor,
                 fast_threshold=orb_cfg.fast_threshold,
+                bin_weights=bin_weights,
             )
         )(stack)
 
-    return run
+    return lambda stack: run(stack, orb.brief_bin_weights())
 
 
 @functools.lru_cache(maxsize=8)
