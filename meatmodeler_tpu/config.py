@@ -68,6 +68,10 @@ class OrbConfig:
     scale_factor: float = 1.2
     patch_size: int = 31
     harris_block: int = 7
+    # Recall target for the TPU-native approx_max_k corner ranking
+    # (1.0 = exact lax.top_k: slower to compile and run, bit-identical to
+    # the round-1 behavior).
+    topk_recall: float = 0.95
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,6 +129,14 @@ class SolverConfig:
     # parallel.sharded.solve_ba_point_sharded). 0/1 = single-device solve.
     # Requires that many addressable devices at solve time.
     point_shard_devices: int = 0
+    # Pad adjust_points/adjust_pose problem shapes up to these multiples
+    # (frames, points, observations) before solving. BA problem sizes are
+    # data-dependent (every video yields a different track count), so
+    # unbucketed shapes recompile the ~20 s solver program per video;
+    # bucketing lets videos share compiled programs (padded cameras/points/
+    # observations are masked out and provably do not perturb the solve).
+    # Set to (1, 1, 1) for exact shapes.
+    bucket: Tuple[int, int, int] = (4, 256, 1024)
 
 
 @dataclasses.dataclass(frozen=True)

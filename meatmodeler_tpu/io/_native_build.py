@@ -13,11 +13,34 @@ processes racing a cold build can never load a truncated library.
 
 from __future__ import annotations
 
+import functools
+import hashlib
 import os
 import subprocess
 import threading
 from pathlib import Path
 from typing import Callable, Optional, Sequence
+
+
+@functools.lru_cache(maxsize=1)
+def _machine_tag() -> str:
+    """Short hash of the host's CPU feature flags.
+
+    Libraries build with ``-march=native``; a working directory shared (or
+    restored) across machine classes must not load a .so vectorized for a
+    different CPU — keying the filename per feature set forces a rebuild
+    instead of a SIGILL.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:8]
 
 
 class NativeLib:
@@ -31,7 +54,9 @@ class NativeLib:
         extra_flags: Sequence[str] = (),
     ):
         self._src = src
-        self._lib_path = lib_path
+        self._lib_path = lib_path.with_name(
+            f"{lib_path.stem}-{_machine_tag()}{lib_path.suffix}"
+        )
         self._configure = configure
         self._extra_flags = list(extra_flags)
         self._lib = None
@@ -54,7 +79,8 @@ class NativeLib:
                     tmp = self._lib_path.with_suffix(f".tmp{os.getpid()}.so")
                     try:
                         subprocess.run(
-                            ["g++", "-O3", "-shared", "-fPIC", *self._extra_flags,
+                            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                             *self._extra_flags,
                              "-o", str(tmp), str(self._src)],
                             check=True,
                             capture_output=True,

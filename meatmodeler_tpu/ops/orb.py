@@ -236,6 +236,7 @@ def detect_and_compute(
     scale_factor: float = 1.2,
     fast_threshold: float = 20.0,
     bin_weights: jax.Array | None = None,
+    topk_recall: float = 0.95,
 ) -> OrbFeatures:
     """Oriented-FAST detection + rBRIEF description over a scale pyramid.
 
@@ -265,12 +266,16 @@ def detect_and_compute(
         num_levels=num_levels,
         scale_factor=scale_factor,
         fast_threshold=fast_threshold,
+        topk_recall=topk_recall,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_features", "num_levels", "scale_factor", "fast_threshold"),
+    static_argnames=(
+        "max_features", "num_levels", "scale_factor", "fast_threshold",
+        "topk_recall",
+    ),
 )
 def _detect_and_compute(
     img: jax.Array,
@@ -279,6 +284,7 @@ def _detect_and_compute(
     num_levels: int,
     scale_factor: float,
     fast_threshold: float,
+    topk_recall: float,
 ) -> OrbFeatures:
     img = jnp.asarray(img)
     # Geometric per-level budget, like ORB's feature distribution.
@@ -314,14 +320,19 @@ def _detect_and_compute(
             & (xx >= margin) & (xx < w - margin)
         )
         flat = jnp.where(ok, resp, -jnp.inf).reshape(-1)
-        # approx_max_k: TPU-native approximate top-k (recall ~0.95 against
-        # exact at these shapes) — compiles 5x faster than lax.top_k on the
-        # Mosaic backend (measured: 38 s -> 7.6 s per level) and runs faster.
-        # Corner selection tolerates approximation: a missed corner is just a
-        # marginally weaker keypoint set, and capacity k usually exceeds the
-        # number of true corners anyway. Exact on CPU (sort fallback).
-        top_resp, top_idx = jax.lax.approx_max_k(flat, k)
-        top_idx = top_idx.astype(jnp.int32)
+        # approx_max_k: TPU-native approximate top-k — compiles 5x faster
+        # than lax.top_k on the Mosaic backend (measured: 38 s -> 7.6 s per
+        # level) and runs faster. Corner selection tolerates approximation:
+        # a missed corner is just a marginally weaker keypoint set, and
+        # capacity k usually exceeds the number of true corners anyway.
+        # Exact on CPU (sort fallback); topk_recall=1.0 forces exact top_k.
+        if topk_recall >= 1.0:
+            top_resp, top_idx = jax.lax.top_k(flat, k)
+        else:
+            top_resp, top_idx = jax.lax.approx_max_k(
+                flat, k, recall_target=topk_recall
+            )
+            top_idx = top_idx.astype(jnp.int32)
         kxy = jnp.stack(
             [(top_idx % w).astype(jnp.float32), (top_idx // w).astype(jnp.float32)],
             axis=-1,

@@ -35,9 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: the axon/Mosaic backend takes minutes to
-# compile the gather-heavy kernels (ORB ~8 min cold); caching makes every
-# run after the first start warm.
+# Persistent compilation cache: first-ever compiles on the axon/Mosaic
+# backend still total ~2 min across the pipeline (after the round-2 fixes
+# that cut ORB 390 s -> 25 s and board detect 302 s -> 12 s — see
+# ops/orb.py::brief_bin_weights and tools/compile_probe.py); caching makes
+# every run after the first start warm.
 try:  # pragma: no cover - trivially environment-dependent
     import os as _os
 
@@ -229,6 +231,7 @@ def _make_orb_minibatch(orb_cfg):
                 scale_factor=orb_cfg.scale_factor,
                 fast_threshold=orb_cfg.fast_threshold,
                 bin_weights=bin_weights,
+                topk_recall=orb_cfg.topk_recall,
             )
         )(stack)
 

@@ -160,6 +160,14 @@ def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r, axis_
     degenerate = (v_trace < 1e-12)[:, None, None]
     v_d = jnp.where(degenerate, eye3, v_d)
 
+    # Same guard for padded/unobserved CAMERAS (shape-bucketed problems pad
+    # the frame axis): an all-masked camera has U = 0 and W = 0, so with an
+    # identity U block its rows of S decouple exactly and its delta solves
+    # to 0 (rhs is 0 there) — real parameters are untouched.
+    u_trace = jnp.einsum("fii->f", u_d)
+    degenerate_u = (u_trace < 1e-12)[:, None, None]
+    u_d = jnp.where(degenerate_u, eye6, u_d)
+
     v_inv = jnp.linalg.inv(v_d)  # (P, 3, 3) batched closed-form inverse
 
     # Scatter W blocks into the dense per-point camera strip A_p (P, F*6, 3):
@@ -369,6 +377,7 @@ def adjust_points(
         mask=mask,
         weight=None if weights is None else jnp.asarray(weights),
     )
+    n_f, n_p = problem.cam_params.shape[0], problem.points.shape[0]
     if config.point_shard_devices > 1:
         # Opt-in sharded single-problem solve (SURVEY §5.7): lazy import to
         # avoid a module cycle (parallel.sharded imports this module).
@@ -378,9 +387,50 @@ def adjust_points(
         mesh = sharded.make_mesh(data=n, model=1)
         result = sharded.solve_ba_point_sharded(mesh, problem, config=config)
     else:
-        result = solve_ba(problem, config=config)
+        # Shape-bucketed solve: problem sizes are data-dependent, so padding
+        # to bucket multiples lets different videos reuse one ~20 s compile.
+        result = solve_ba(_pad_problem(problem, config.bucket), config=config)
+        result = result._replace(
+            cam_params=result.cam_params[:n_f], points=result.points[:n_p]
+        )
     new_ext = projection.extrinsics_from_params(result.cam_params, homogeneous=True)
     return result.points, new_ext, result
+
+
+def _ceil_to(n: int, q: int) -> int:
+    return ((n + q - 1) // q) * q if q > 1 else n
+
+
+def _pad_problem(problem: BAProblem, bucket: Tuple[int, int, int]) -> BAProblem:
+    """Pad (frames, points, observations) up to bucket multiples.
+
+    Padded observations carry mask=False (index 0 is fine — masked Jacobians
+    and residuals are zeroed before every reduction); padded points and
+    cameras end up fully unobserved, which the degenerate-U/V guards in
+    ``_solve_normal_equations`` turn into decoupled identity blocks, so the
+    solve over real parameters is bit-for-bit the unpadded trajectory (up to
+    LU rounding in the larger-but-block-diagonal reduced system).
+    """
+    fq, pq, nq = bucket
+    f, p, n = problem.cam_params.shape[0], problem.points.shape[0], problem.obs.shape[0]
+    fb, pb, nb = _ceil_to(f, fq), _ceil_to(p, pq), _ceil_to(n, nq)
+    if (fb, pb, nb) == (f, p, n):
+        return problem
+
+    def pad0(x, total, axis=0):
+        width = [(0, 0)] * x.ndim
+        width[axis] = (0, total - x.shape[axis])
+        return jnp.pad(x, width)
+
+    return problem._replace(
+        cam_params=pad0(problem.cam_params, fb),
+        points=pad0(problem.points, pb),
+        obs=pad0(problem.obs, nb),
+        frame_idx=pad0(problem.frame_idx, nb),
+        point_idx=pad0(problem.point_idx, nb),
+        mask=pad0(problem.mask, nb),
+        weight=None if problem.weight is None else pad0(problem.weight, nb),
+    )
 
 
 def _chessboard_xz(pattern: Tuple[int, int], side_length: float, dtype):
@@ -434,7 +484,14 @@ def adjust_pose(
         point_idx=point_idx,
         mask=jnp.ones(points_2d.shape[0], bool),
     )
-    result = solve_ba(problem, config=config, fix_points=True)
+    # Bucket only the frame/obs axes (the point axis is the fixed board):
+    # pose-BA problem shapes vary with the keyframe count per video.
+    result = solve_ba(
+        _pad_problem(problem, (config.bucket[0], 1, config.bucket[0] * n)),
+        config=config,
+        fix_points=True,
+    )
+    result = result._replace(cam_params=result.cam_params[:f])
     return projection.extrinsics_from_params(result.cam_params), result
 
 

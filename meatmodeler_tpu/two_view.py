@@ -67,6 +67,7 @@ def reconstruct_two_view(
             num_levels=config.orb.num_levels,
             scale_factor=config.orb.scale_factor,
             fast_threshold=config.orb.fast_threshold,
+            topk_recall=config.orb.topk_recall,
         )
         for g in (g1, g2)
     ]

@@ -60,3 +60,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # CPU needs these two explicitly; without them nothing is ever written.
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
+
+# Bound in-process XLA/LLVM state: after ~45 min of suite accumulation the
+# CPU backend segfaulted NATIVELY (inside backend_compile_and_load) while
+# compiling the vmapped shard_map BA program — reproducibly at the same
+# test in two full runs, while the same test passes in a fresh process and
+# in any shorter subset. Dropping the jit caches between test modules keeps
+# the resident-executable population small; the persistent disk cache makes
+# the re-loads cheap.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()

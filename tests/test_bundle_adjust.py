@@ -143,6 +143,75 @@ class TestSchurBA:
         assert float(result.rmse) < 0.75
 
 
+class TestShapeBucketing:
+    """adjust_points/adjust_pose pad to bucket multiples (SolverConfig.bucket)
+    so data-dependent problem sizes reuse one compiled solver program; the
+    padded cameras/points/obs are masked out and must not move the solution."""
+
+    def test_bucketed_matches_exact_shapes(self):
+        K, cams, pts, cams0, pts0, obs, fidx, pidx = make_problem(
+            n_frames=7, n_points=53, seed=3
+        )
+        ext0 = np.asarray(projection.extrinsics_from_params(jnp.asarray(cams0)))
+        exact = ba.adjust_points(
+            ext0, K, pts0, obs, fidx, pidx,
+            config=SolverConfig(bucket=(1, 1, 1)),
+        )
+        bucketed = ba.adjust_points(
+            ext0, K, pts0, obs, fidx, pidx,
+            config=SolverConfig(bucket=(4, 256, 1024)),
+        )
+        assert bucketed[0].shape == exact[0].shape
+        assert bucketed[1].shape == exact[1].shape
+        np.testing.assert_allclose(
+            np.asarray(bucketed[0]), np.asarray(exact[0]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(bucketed[1]), np.asarray(exact[1]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(bucketed[2].rmse), float(exact[2].rmse), rtol=1e-6
+        )
+        assert int(bucketed[2].iterations) == int(exact[2].iterations)
+
+    def test_pose_bucketed_matches_exact(self):
+        rng = np.random.default_rng(5)
+        f, pattern, side = 6, (4, 3), 2.0
+        board = np.asarray(ba._chessboard_xz(pattern, side, np.float64))
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        cams = np.hstack([
+            rng.normal(scale=0.05, size=(f, 3)),
+            np.tile([2.0, 1.0, 20.0], (f, 1)) + rng.normal(scale=0.2, size=(f, 3)),
+        ])
+        obs = np.asarray(
+            projection.project_points(
+                np.tile(board, (f, 1)),
+                np.repeat(cams, board.shape[0], axis=0),
+                K,
+            )
+        ) + rng.normal(scale=0.3, size=(f * board.shape[0], 2))
+        ext0 = np.asarray(
+            projection.extrinsics_from_params(
+                jnp.asarray(cams + rng.normal(scale=0.01, size=(f, 6)))
+            )
+        )
+        exact_ext, exact_res = ba.adjust_pose(
+            ext0, K, obs, pattern=pattern, side_length=side,
+            config=SolverConfig(bucket=(1, 1, 1)),
+        )
+        buck_ext, buck_res = ba.adjust_pose(
+            ext0, K, obs, pattern=pattern, side_length=side,
+            config=SolverConfig(bucket=(4, 256, 1024)),
+        )
+        assert buck_ext.shape == exact_ext.shape == (f, 3, 4)
+        np.testing.assert_allclose(
+            np.asarray(buck_ext), np.asarray(exact_ext), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(buck_res.rmse), float(exact_res.rmse), rtol=1e-6
+        )
+
+
 class TestAdjustPose:
     def test_pose_only_against_scipy(self):
         """The adjustPose problem: known X-Z chessboard, F frames, fixed points."""

@@ -163,6 +163,34 @@ def main(argv):
             return jnp.concatenate(outs)
 
         clock("describe x4 levels", desc4, img[0], orb.brief_bin_weights())
+    if "ba_pose" in stages or "ba_global" in stages:
+        from meatmodeler_tpu.solvers import bundle_adjust
+
+        def ba_case(name, f_, p_, n_, fix_points):
+            r = np.random.default_rng(0)
+            prob = bundle_adjust.BAProblem(
+                cam_params=jnp.asarray(r.normal(size=(f_, 6)), jnp.float32),
+                points=jnp.asarray(r.normal(size=(p_, 3)), jnp.float32),
+                intrinsics=jnp.eye(3, dtype=jnp.float32) * 500,
+                obs=jnp.asarray(r.normal(size=(n_, 2)), jnp.float32),
+                frame_idx=jnp.asarray(r.integers(0, f_, n_), jnp.int32),
+                point_idx=jnp.asarray(r.integers(0, p_, n_), jnp.int32),
+                mask=jnp.ones(n_, bool),
+            )
+            t0 = time.perf_counter()
+            lowered = bundle_adjust.solve_ba.lower(prob, fix_points=fix_points)
+            t_lower = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            lowered.compile()
+            print(
+                f"{name:<28} lower {t_lower:7.2f}s   "
+                f"compile {time.perf_counter() - t0:7.2f}s", flush=True
+            )
+
+        if "ba_pose" in stages:
+            ba_case("solve_ba pose F=20", 20, 12, 240, True)
+        if "ba_global" in stages:
+            ba_case("solve_ba global 600pt", 20, 600, 3600, False)
     if "board" in stages:
         small = jnp.zeros((BMB, BH, BW), jnp.float32)
         clock(
