@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -290,6 +291,29 @@ def measure_reference(frames) -> dict:
     }
 
 
+def _device_alive(timeout_s: float = 240.0) -> bool:
+    """Probe the accelerator in a killable child process.
+
+    The axon tunnel can go completely dark (observed: even ``jax.devices()``
+    hangs, for an hour plus) — in that state a bench run would block forever
+    and record nothing. Backend init can hang the calling process itself, so
+    the probe runs in a subprocess with a timeout.
+    """
+    code = (
+        "import jax, jax.numpy as jnp; jax.devices(); "
+        "print(float(jnp.zeros(()).sum()))"
+    )
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-reference", action="store_true")
@@ -300,6 +324,23 @@ def main(argv=None) -> int:
         "features / 8 levels / 0.1 keyframe threshold)",
     )
     args = parser.parse_args(argv)
+
+    if not _device_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_sfm_volume_fps_1080p",
+                    "value": 0.0,
+                    "unit": "frames/sec",
+                    "vs_baseline": 0.0,
+                    "detail": {
+                        "error": "accelerator unreachable: device probe "
+                        "(jax.devices() + one scalar op) timed out after 240 s"
+                    },
+                }
+            )
+        )
+        return 1
 
     frames = load_or_render_clip()
 
