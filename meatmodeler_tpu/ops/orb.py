@@ -320,6 +320,10 @@ def _detect_and_compute(
             & (xx >= margin) & (xx < w - margin)
         )
         flat = jnp.where(ok, resp, -jnp.inf).reshape(-1)
+        # Small images (deep pyramid levels, warmup probes) can have fewer
+        # pixels than the level's feature budget; top-k requires k <= n, so
+        # select what exists and pad the static capacity with masked slots.
+        k_eff = min(k, h * w)
         # approx_max_k: TPU-native approximate top-k — compiles 5x faster
         # than lax.top_k on the Mosaic backend (measured: 38 s -> 7.6 s per
         # level) and runs faster. Corner selection tolerates approximation:
@@ -327,12 +331,15 @@ def _detect_and_compute(
         # capacity k usually exceeds the number of true corners anyway.
         # Exact on CPU (sort fallback); topk_recall=1.0 forces exact top_k.
         if topk_recall >= 1.0:
-            top_resp, top_idx = jax.lax.top_k(flat, k)
+            top_resp, top_idx = jax.lax.top_k(flat, k_eff)
         else:
             top_resp, top_idx = jax.lax.approx_max_k(
-                flat, k, recall_target=topk_recall
+                flat, k_eff, recall_target=topk_recall
             )
             top_idx = top_idx.astype(jnp.int32)
+        if k_eff < k:
+            top_resp = jnp.pad(top_resp, (0, k - k_eff), constant_values=-jnp.inf)
+            top_idx = jnp.pad(top_idx, (0, k - k_eff))
         kxy = jnp.stack(
             [(top_idx % w).astype(jnp.float32), (top_idx // w).astype(jnp.float32)],
             axis=-1,

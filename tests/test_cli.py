@@ -61,6 +61,17 @@ def test_batch_mesh(clips):
     assert all(np.isfinite(o["reprojection_rmse"]) for o in out)
 
 
+def test_warmup_compile_primes(tmp_path):
+    """meatmodeler --warmup W H compiles the pipeline for that resolution
+    without any input video (VERDICT r1: cold-start mitigation). A partial
+    run (too few keyframes on the tiny synthetic clip) still exits 0 — the
+    big pass-1/pass-2 programs compiled, which is the command's contract."""
+    rc = cli.main(
+        ["--warmup", "160", "120", *ARGS, "--pass1-downscale", "2"]
+    )
+    assert rc == 0
+
+
 def test_bad_flag_value(clips):
     paths, _ = clips
     with pytest.raises(SystemExit):

@@ -99,6 +99,18 @@ class TestOrbEndToEnd:
         assert f.descriptors.dtype == np.int8
         assert np.asarray(f.mask).sum() > 20
 
+    def test_budget_larger_than_image(self):
+        """Deep pyramid levels (and tiny warmup probes) can have fewer
+        pixels than the level's feature budget; the static capacity must
+        pad with masked slots instead of crashing top-k (k > n)."""
+        img = textured_image(h=48, w=64, seed=6, n=40)
+        f = orb.detect_and_compute(img, max_features=8192, num_levels=3)
+        assert f.xy.shape == (8192, 2)
+        mask = np.asarray(f.mask)
+        assert 0 < mask.sum() < 48 * 64
+        # Padded slots are invalid and carry no response.
+        assert not np.isfinite(np.asarray(f.response)[~mask]).any()
+
     def test_matches_recover_known_shift(self):
         img = textured_image(seed=6)
         dx, dy = 7.0, -4.0
