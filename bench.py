@@ -325,6 +325,16 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    frames = load_or_render_clip()
+
+    if args.measure_reference:
+        # Host-only OpenCV/SciPy measurement — no device needed, so it must
+        # work (and be recordable) even while the accelerator is dark.
+        ref = measure_reference(frames)
+        BASELINE_MEASURED.write_text(json.dumps(ref, indent=2))
+        print(json.dumps(ref), file=sys.stderr)
+        return 0
+
     if not _device_alive():
         print(
             json.dumps(
@@ -335,20 +345,13 @@ def main(argv=None) -> int:
                     "vs_baseline": 0.0,
                     "detail": {
                         "error": "accelerator unreachable: device probe "
-                        "(jax.devices() + one scalar op) timed out after 240 s"
+                        "(jax.devices() + one scalar op in a killable "
+                        "subprocess) failed or timed out within 240 s"
                     },
                 }
             )
         )
         return 1
-
-    frames = load_or_render_clip()
-
-    if args.measure_reference:
-        ref = measure_reference(frames)
-        BASELINE_MEASURED.write_text(json.dumps(ref, indent=2))
-        print(json.dumps(ref), file=sys.stderr)
-        return 0
 
     scene = get_scene()
     ours = run_ours(frames, bench_config(), scene, "tuned")

@@ -101,6 +101,10 @@ class ChessboardConfig:
     detector: str = "auto"
     detect_candidates: int = 24  # saddle candidates kept for grid assignment
     detect_tol: float = 3.0  # px gate between projected grid and candidates
+    # Force exact lax.top_k saddle ranking (round-1 behavior) instead of the
+    # oversampled approx_max_k path — a debugging escape hatch for missed
+    # detections; see ops/board_detect.saddle_candidates.
+    detect_exact_topk: bool = False
 
     def __post_init__(self):
         _check_choice("chessboard.detector", self.detector, ("auto", "device", "host"))

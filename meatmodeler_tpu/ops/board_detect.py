@@ -88,14 +88,24 @@ class _Candidates(NamedTuple):
     mask: jax.Array  # (K,) bool
 
 
-@partial(jax.jit, static_argnames=("max_candidates", "nms_window"))
+@partial(jax.jit, static_argnames=("max_candidates", "nms_window", "exact_topk"))
 def saddle_candidates(
     grey: jax.Array,
     max_candidates: int = 24,
     nms_window: int = 7,
     rel_threshold: float = 0.1,
+    exact_topk: bool = False,
 ) -> _Candidates:
-    """Top-k saddle points with sub-pixel parabolic refinement."""
+    """Top-k saddle points with sub-pixel parabolic refinement.
+
+    ``exact_topk=False`` ranks with a 4x-oversampled ``approx_max_k`` (fast
+    Mosaic compile) refined by an exact sort of the survivors: a true
+    top-``max_candidates`` saddle is lost only if it shares a reduction bin
+    with a stronger element AND falls outside the 4x oversample — board
+    detection needs ALL pattern corners among the candidates, so the
+    oversample keeps the approximation safe. ``True`` forces plain
+    ``lax.top_k`` (round-1 behavior) for debugging missed detections.
+    """
     resp = saddle_response(grey)
     h, w = resp.shape
 
@@ -110,12 +120,13 @@ def saddle_candidates(
     valid &= (yy >= margin) & (yy < h - margin) & (xx >= margin) & (xx < w - margin)
 
     flat = jnp.where(valid, resp, -jnp.inf).reshape(-1)
-    # approx_max_k compiles ~5x faster than lax.top_k on the Mosaic backend
-    # and the NMS already separates peaks by nms_window px, so the top
-    # couple dozen saddles land in distinct approx buckets (recall at these
-    # k/n shapes is ~1; exact sort fallback on CPU).
-    top_resp, top_idx = jax.lax.approx_max_k(flat, max_candidates)
-    top_idx = top_idx.astype(jnp.int32)
+    if exact_topk:
+        top_resp, top_idx = jax.lax.top_k(flat, max_candidates)
+    else:
+        k_over = min(4 * max_candidates, flat.shape[0])
+        over_resp, over_idx = jax.lax.approx_max_k(flat, k_over)
+        top_resp, sel = jax.lax.top_k(over_resp, max_candidates)
+        top_idx = over_idx.astype(jnp.int32)[sel]
     ys = top_idx // w
     xs = top_idx % w
     mask = jnp.isfinite(top_resp)
@@ -166,7 +177,12 @@ def _grid_constants(pattern: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
     return np.linalg.inv(h_dom), grid
 
 
-@partial(jax.jit, static_argnames=("pattern", "max_candidates", "hyp_candidates", "nms_window"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pattern", "max_candidates", "hyp_candidates", "nms_window", "exact_topk",
+    ),
+)
 def find_chessboard_device(
     grey: jax.Array,
     pattern: Tuple[int, int] = (4, 3),
@@ -174,6 +190,7 @@ def find_chessboard_device(
     hyp_candidates: int = 16,
     tol: float = 3.0,
     nms_window: int = 7,
+    exact_topk: bool = False,
 ) -> BoardDetection:
     """Detect the full inner-corner grid on device. One XLA program.
 
@@ -200,7 +217,12 @@ def find_chessboard_device(
     # slots than candidates would be silently clamped by JAX gathers into
     # degenerate coincident-point tuples.
     hyp_candidates = min(hyp_candidates, max_candidates)
-    cand = saddle_candidates(grey, max_candidates=max_candidates, nms_window=nms_window)
+    cand = saddle_candidates(
+        grey,
+        max_candidates=max_candidates,
+        nms_window=nms_window,
+        exact_topk=exact_topk,
+    )
     inv_dom, grid = _grid_constants(pattern)
     inv_dom = jnp.asarray(inv_dom, jnp.float32)
     grid = jnp.asarray(grid, jnp.float32)

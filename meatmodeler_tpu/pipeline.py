@@ -421,7 +421,7 @@ _DETECT_MINIBATCH = 8
 
 
 @functools.lru_cache(maxsize=8)
-def _make_board_detect_batch(pattern, max_candidates, tol):
+def _make_board_detect_batch(pattern, max_candidates, tol, exact_topk=False):
     """One jitted vmapped board-detect program over a fixed-size stack."""
 
     @jax.jit
@@ -431,7 +431,8 @@ def _make_board_detect_batch(pattern, max_candidates, tol):
         stack = stack.astype(jnp.float32)
         return jax.vmap(
             lambda g: board_detect.find_chessboard_device(
-                g, pattern=pattern, max_candidates=max_candidates, tol=tol
+                g, pattern=pattern, max_candidates=max_candidates, tol=tol,
+                exact_topk=exact_topk,
             )
         )(stack)
 
@@ -451,7 +452,8 @@ def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
     if not smalls_dev:
         return []
     run = _make_board_detect_batch(
-        tuple(pattern), cb_cfg.detect_candidates, cb_cfg.detect_tol
+        tuple(pattern), cb_cfg.detect_candidates, cb_cfg.detect_tol,
+        cb_cfg.detect_exact_topk,
     )
     out = []
     mb = _DETECT_MINIBATCH

@@ -378,6 +378,11 @@ def adjust_points(
         weight=None if weights is None else jnp.asarray(weights),
     )
     n_f, n_p = problem.cam_params.shape[0], problem.points.shape[0]
+    # Shape-bucketed solve: problem sizes are data-dependent, so padding to
+    # bucket multiples lets different videos reuse one ~20 s compile — on
+    # the point-sharded path too (where the per-video recompile is a
+    # multi-device program and costs even more).
+    problem = _pad_problem(problem, config.bucket)
     if config.point_shard_devices > 1:
         # Opt-in sharded single-problem solve (SURVEY §5.7): lazy import to
         # avoid a module cycle (parallel.sharded imports this module).
@@ -387,12 +392,10 @@ def adjust_points(
         mesh = sharded.make_mesh(data=n, model=1)
         result = sharded.solve_ba_point_sharded(mesh, problem, config=config)
     else:
-        # Shape-bucketed solve: problem sizes are data-dependent, so padding
-        # to bucket multiples lets different videos reuse one ~20 s compile.
-        result = solve_ba(_pad_problem(problem, config.bucket), config=config)
-        result = result._replace(
-            cam_params=result.cam_params[:n_f], points=result.points[:n_p]
-        )
+        result = solve_ba(problem, config=config)
+    result = result._replace(
+        cam_params=result.cam_params[:n_f], points=result.points[:n_p]
+    )
     new_ext = projection.extrinsics_from_params(result.cam_params, homogeneous=True)
     return result.points, new_ext, result
 

@@ -79,7 +79,11 @@ def main(argv):
     if "gauss" in stages:
         clock("gauss7", jax.vmap(orb._gauss7), img)
     if "describe" in stages:
-        clock("describe n=4096", jax.vmap(orb._describe), img, xy, ang, mask)
+        clock(
+            "describe n=4096",
+            jax.vmap(orb._describe, in_axes=(0, 0, 0, 0, None)),
+            img, xy, ang, mask, orb.brief_bin_weights(),
+        )
     if "orb" in stages:
         clock(
             "FULL orb minibatch",
@@ -217,7 +221,7 @@ def main(argv):
         # Hypothesis: the 52 MB _BIN_WEIGHTS module constant is embedded as
         # an HLO literal; passing it as an argument should collapse the 68 s
         # lowering.
-        wts = jnp.asarray(np.asarray(orb._BIN_WEIGHTS))
+        wts = jnp.asarray(orb._BIN_WEIGHTS_NP, jnp.bfloat16)
 
         def describe_arg(blur, xy_, ang_, m_, w_):
             n = xy_.shape[0]
