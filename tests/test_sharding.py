@@ -145,7 +145,11 @@ class TestPointShardedBA:
             problem.point_idx,
         )
         np.testing.assert_allclose(float(res_sh.rmse), float(res_1.rmse), rtol=1e-4)
-        np.testing.assert_allclose(np.asarray(pts_sh), np.asarray(pts_1), atol=1e-3)
+        # Shape bucketing pads the sharded problem (64 -> 256 points), which
+        # changes the per-shard partitioning and hence float reduction order
+        # vs the single-device solve; both LM trajectories stop at ftol=1e-4,
+        # so positions agree to solver slop, not bit-exactly.
+        np.testing.assert_allclose(np.asarray(pts_sh), np.asarray(pts_1), atol=5e-3)
 
 
 class TestTensorParallelMatching:
