@@ -335,7 +335,19 @@ def main(argv=None) -> int:
         print(json.dumps(ref), file=sys.stderr)
         return 0
 
-    if not _device_alive():
+    # Outages of the tunnel can last a while; keep probing (cheap, killable
+    # child) until the device answers or the wait budget runs out, so a
+    # transient outage at bench time degrades to a late start, not a lost
+    # round. Budget override: MEATMODELER_BENCH_WAIT_S.
+    import os
+
+    deadline = time.monotonic() + float(os.environ.get("MEATMODELER_BENCH_WAIT_S", 900))
+    alive = _device_alive(timeout_s=120)
+    while not alive and time.monotonic() < deadline:
+        print("bench: accelerator unreachable, retrying...", file=sys.stderr)
+        time.sleep(60)
+        alive = _device_alive(timeout_s=120)
+    if not alive:
         print(
             json.dumps(
                 {
@@ -346,7 +358,7 @@ def main(argv=None) -> int:
                     "detail": {
                         "error": "accelerator unreachable: device probe "
                         "(jax.devices() + one scalar op in a killable "
-                        "subprocess) failed or timed out within 240 s"
+                        "subprocess) kept failing through the retry window"
                     },
                 }
             )
