@@ -81,11 +81,14 @@ def match_descriptors(
     d = jnp.where(train_mask[None, :], d, big)
     d = jnp.where(query_mask[:, None], d, big)
 
-    # Row-wise top-2 via two masked minima.
+    # Row-wise top-2 via two masked minima. The best entry is masked with an
+    # iota compare rather than a scatter: a (Q, T) scatter is measurably
+    # slower to compile and run on the Mosaic backend than a broadcast
+    # select of the same shape.
     best_t = jnp.argmin(d, axis=1)  # (Q,)
     best_d = jnp.take_along_axis(d, best_t[:, None], axis=1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), best_t].set(big)
-    second_d = jnp.min(d2, axis=1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    second_d = jnp.min(jnp.where(iota_t == best_t[:, None], big, d), axis=1)
 
     good = best_d < ratio * second_d  # Lowe ratio (processor.py:136-137)
     good &= best_d <= max_distance
