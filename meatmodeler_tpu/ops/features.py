@@ -141,7 +141,19 @@ def good_features(
     valid &= is_cell_best & jnp.isfinite(masked_resp)
 
     flat = jnp.where(valid, resp, -jnp.inf).reshape(-1)
-    top_resp, top_idx = jax.lax.top_k(flat, max_corners)
+    # 4x-oversampled approx_max_k + exact refine: ~5x faster Mosaic compile
+    # than lax.top_k at image-sized inputs and safe against reduction-bin
+    # collisions (a true top-k corner must also fall outside the oversample
+    # to be lost); exact sort fallback on CPU. Same pattern as
+    # ops/board_detect.saddle_candidates.
+    k_eff = min(max_corners, flat.shape[0])
+    k_over = min(4 * k_eff, flat.shape[0])
+    over_resp, over_idx = jax.lax.approx_max_k(flat, k_over)
+    top_resp, sel = jax.lax.top_k(over_resp, k_eff)
+    top_idx = over_idx.astype(jnp.int32)[sel]
+    if k_eff < max_corners:
+        top_resp = jnp.pad(top_resp, (0, max_corners - k_eff), constant_values=-jnp.inf)
+        top_idx = jnp.pad(top_idx, (0, max_corners - k_eff))
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
     mask = jnp.isfinite(top_resp)
