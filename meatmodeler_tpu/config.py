@@ -55,6 +55,11 @@ class KeyframeConfig:
     quality_level: float = 0.01
     min_distance: int = 7
     block_size: int = 7
+    # Force the exact lax.top_k Shi-Tomasi ranking for the keyframe-scan
+    # reseed instead of the oversampled approx_max_k path — the same
+    # debugging escape hatch as OrbConfig.topk_recall=1.0 and
+    # ChessboardConfig.detect_exact_topk (see ops/features.good_features).
+    exact_topk: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,6 +138,15 @@ class SolverConfig:
     # parallel.sharded.solve_ba_point_sharded). 0/1 = single-device solve.
     # Requires that many addressable devices at solve time.
     point_shard_devices: int = 0
+    # Memory band for the solver's peak term, the dense Schur strip
+    # a (P, F, 6, 3) plus its V^-1 product (~144*P*F bytes at f32). When a
+    # padded problem's strip would exceed this per-device budget,
+    # adjust_points AUTO-shards its points over enough devices to fit
+    # (overriding point_shard_devices upward) and refuses with a described
+    # error if the machine has too few — there is no silent-OOM path into
+    # the dense strip. Default: half a v5e core's 16 GB HBM (the strip
+    # coexists with the problem arrays and XLA temporaries). 0 disables.
+    hbm_strip_budget_bytes: int = 8 * 2**30
     # Pad adjust_points/adjust_pose problem shapes up to these multiples
     # (frames, points, observations) before solving. BA problem sizes are
     # data-dependent (every video yields a different track count), so
@@ -246,10 +260,6 @@ class PipelineConfig:
     #     burst-throttled link, at the cost of an approximation: CLAHE on
     #     luma instead of LAB lightness (equivalent for low-chroma content).
     pass2_enhance: str = "bgr_lab"
-
-    def __post_init__(self):
-        _check_choice("pass2_enhance", self.pass2_enhance, ("bgr_lab", "grey"))
-        _check_choice("pass1_backend", self.pass1_backend, ("device", "host"))
     # Pass-1 execution backend: "device" streams every downscaled frame to
     # the device and runs the lax.scan keyframe program; "host" runs the
     # IDENTICAL selection state machine in native C++ (io/native_pass1.py)
@@ -274,9 +284,15 @@ class PipelineConfig:
     # Incremental (online) bundle adjustment: re-solve the BA after every
     # keyframe prefix instead of once globally — the reference's *intended*
     # design, left commented out at processor.py:395-408 (SURVEY.md §2.2).
-    # One compiled masked solve is reused for every prefix; the final prefix
-    # IS the global problem, so results match the batch mode at convergence.
+    # One compiled masked solve is reused for every prefix (shapes never
+    # change), warm-started from the previous prefix's solution and damping;
+    # the final prefix IS the global problem, so results match the batch
+    # mode at convergence.
     incremental_ba: bool = False
+
+    def __post_init__(self):
+        _check_choice("pass2_enhance", self.pass2_enhance, ("bgr_lab", "grey"))
+        _check_choice("pass1_backend", self.pass1_backend, ("device", "host"))
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -86,13 +86,17 @@ def harris_response(img: jax.Array, block_size: int = 7, k: float = 0.04) -> jax
     return (det - k * tr * tr) * scale * scale
 
 
-@partial(jax.jit, static_argnames=("max_corners", "block_size", "min_distance"))
+@partial(
+    jax.jit,
+    static_argnames=("max_corners", "block_size", "min_distance", "exact_topk"),
+)
 def good_features(
     img: jax.Array,
     max_corners: int = 512,
     quality_level: float = 0.01,
     min_distance: int = 7,
     block_size: int = 7,
+    exact_topk: bool = False,
 ) -> Corners:
     """cv2.goodFeaturesToTrack equivalent with static output shape.
 
@@ -102,6 +106,10 @@ def good_features(
       quality_level: relative response threshold vs the strongest corner.
       min_distance: minimum spacing, enforced per grid cell.
       block_size: structure-tensor window.
+      exact_topk: force the exact ``lax.top_k`` ranking (slower to compile
+        and run on TPU; bit-identical to the round-1 ordering) instead of the
+        oversampled ``approx_max_k`` path — the same debugging escape hatch
+        as ``board_detect.saddle_candidates`` / ``OrbConfig.topk_recall``.
 
     Returns:
       Corners with (K, 2) float32 (x, y), responses, and validity mask,
@@ -147,10 +155,14 @@ def good_features(
     # to be lost); exact sort fallback on CPU. Same pattern as
     # ops/board_detect.saddle_candidates.
     k_eff = min(max_corners, flat.shape[0])
-    k_over = min(4 * k_eff, flat.shape[0])
-    over_resp, over_idx = jax.lax.approx_max_k(flat, k_over)
-    top_resp, sel = jax.lax.top_k(over_resp, k_eff)
-    top_idx = over_idx.astype(jnp.int32)[sel]
+    if exact_topk:
+        top_resp, top_idx = jax.lax.top_k(flat, k_eff)
+        top_idx = top_idx.astype(jnp.int32)
+    else:
+        k_over = min(4 * k_eff, flat.shape[0])
+        over_resp, over_idx = jax.lax.approx_max_k(flat, k_over)
+        top_resp, sel = jax.lax.top_k(over_resp, k_eff)
+        top_idx = over_idx.astype(jnp.int32)[sel]
     if k_eff < max_corners:
         top_resp = jnp.pad(top_resp, (0, max_corners - k_eff), constant_values=-jnp.inf)
         top_idx = jnp.pad(top_idx, (0, max_corners - k_eff))

@@ -107,6 +107,7 @@ def solve_ba_batch(
         cost=P("data"),
         rmse=P("data"),
         iterations=P("data"),
+        final_lambda=P("data"),
     )
 
     # check_vma off: solve_ba's while_loop seeds scalar carries (lambda, cost)
@@ -125,6 +126,7 @@ def solve_ba_point_sharded(
     mesh: Mesh,
     problem: bundle_adjust.BAProblem,
     config=None,
+    init_lambda=None,
 ) -> bundle_adjust.BAResult:
     """ONE bundle-adjustment problem with its points sharded over ``data``.
 
@@ -184,7 +186,8 @@ def solve_ba_point_sharded(
     pts_sharded = pts_pad.reshape(d, pl, 3)
 
     out_spec = bundle_adjust.BAResult(
-        cam_params=P(), points=P("data"), cost=P(), rmse=P(), iterations=P()
+        cam_params=P(), points=P("data"), cost=P(), rmse=P(), iterations=P(),
+        final_lambda=P(),
     )
 
     # check_vma off for the same reason as solve_ba_batch; additionally the
@@ -193,11 +196,14 @@ def solve_ba_point_sharded(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data"), P("data"), P()),
+        in_specs=(
+            P(), P("data"), P("data"), P("data"), P("data"), P("data"),
+            P("data"), P(), P(),
+        ),
         out_specs=out_spec,
         check_vma=False,
     )
-    def run(cam, pts_s, obs_s, fidx_s, pidx_s, mask_s, w_s, k):
+    def run(cam, pts_s, obs_s, fidx_s, pidx_s, mask_s, w_s, k, lam0):
         local = bundle_adjust.BAProblem(
             cam_params=cam,
             points=pts_s[0],
@@ -208,7 +214,9 @@ def solve_ba_point_sharded(
             mask=mask_s[0],
             weight=w_s[0],
         )
-        res = bundle_adjust.solve_ba(local, config=config, axis_name="data")
+        res = bundle_adjust.solve_ba(
+            local, config=config, axis_name="data", init_lambda=lam0
+        )
         return res._replace(points=res.points[None])
 
     res = run(
@@ -220,6 +228,10 @@ def solve_ba_point_sharded(
         jnp.asarray(mask_l),
         jnp.asarray(w_l),
         jnp.asarray(problem.intrinsics),
+        jnp.asarray(
+            config.init_lambda if init_lambda is None else init_lambda,
+            jnp.float32,
+        ),
     )
     return res._replace(points=res.points.reshape(d * pl, 3)[:p_total])
 

@@ -74,6 +74,9 @@ class BAResult(NamedTuple):
     cost: jax.Array  # final 0.5 * sum r^2 over valid obs
     rmse: jax.Array  # reprojection RMSE in pixels over valid obs
     iterations: jax.Array  # LM iterations taken
+    # Damping at exit — feed back as ``init_lambda`` to warm-start a related
+    # solve (incremental BA re-solving a grown prefix of the same problem).
+    final_lambda: jax.Array = 0.0
 
 
 def _residuals(cam_params, points, intrinsics, obs, fidx, pidx, mask, weight=None):
@@ -156,7 +159,10 @@ def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r, axis_
 
     # Guard padded/unobserved points: their V block is ~0; make it identity so
     # the inverse is benign (their delta comes out ~0 since b_p is 0 there).
-    v_trace = v_d[:, 0, 0] + v_d[:, 1, 1] + v_d[:, 2, 2]
+    # Degeneracy is tested on the UNDAMPED trace: multiplicative damping gives
+    # a padded block trace of k*lam*1e-8 (~1e-11 at default lam), which would
+    # slip past the threshold and leave a near-singular block in the system.
+    v_trace = v[:, 0, 0] + v[:, 1, 1] + v[:, 2, 2]
     degenerate = (v_trace < 1e-12)[:, None, None]
     v_d = jnp.where(degenerate, eye3, v_d)
 
@@ -164,7 +170,7 @@ def _solve_normal_equations(problem: BAProblem, lam: jax.Array, jc, jp, r, axis_
     # the frame axis): an all-masked camera has U = 0 and W = 0, so with an
     # identity U block its rows of S decouple exactly and its delta solves
     # to 0 (rhs is 0 there) — real parameters are untouched.
-    u_trace = jnp.einsum("fii->f", u_d)
+    u_trace = jnp.einsum("fii->f", u)
     degenerate_u = (u_trace < 1e-12)[:, None, None]
     u_d = jnp.where(degenerate_u, eye6, u_d)
 
@@ -223,6 +229,7 @@ def solve_ba(
     config: SolverConfig = SolverConfig(),
     fix_points: bool = False,
     axis_name: Optional[str] = None,
+    init_lambda: Optional[jax.Array] = None,
 ) -> BAResult:
     """Run Schur-complement LM until ftol convergence or max_iters.
 
@@ -238,6 +245,12 @@ def solve_ba(
         point indices; cameras replicated). Camera-system reductions are
         psum'd so every core walks the identical LM trajectory (SURVEY §5.7;
         use ``parallel.sharded.solve_ba_point_sharded`` to set this up).
+      init_lambda: optional RUNTIME damping override (a traced scalar, so no
+        recompile per value — unlike ``config.init_lambda``, which is static).
+        Warm-starting a grown prefix of the same problem from the previous
+        solve's ``final_lambda`` skips the damping walk-down the reference's
+        intended online design would repeat per keyframe
+        (``processor.py:395-408``).
 
     Returns:
       BAResult with refined parameters and convergence stats (with
@@ -315,15 +328,20 @@ def solve_ba(
         return (it < config.max_iters) & (~done)
 
     cost0 = _cost(problem, problem.cam_params, problem.points, axis_name)
+    lam0 = (
+        jnp.array(config.init_lambda, problem.cam_params.dtype)
+        if init_lambda is None
+        else jnp.asarray(init_lambda, problem.cam_params.dtype)
+    )
     init = (
         problem.cam_params,
         problem.points,
-        jnp.array(config.init_lambda, problem.cam_params.dtype),
+        lam0,
         cost0,
         jnp.array(0, jnp.int32),
         jnp.array(False),
     )
-    cam, pts, _, cost, iters, _ = jax.lax.while_loop(cond, body, init)
+    cam, pts, lam_out, cost, iters, _ = jax.lax.while_loop(cond, body, init)
     # Report the UNWEIGHTED pixel RMSE regardless of observation weighting
     # (the comparable metric across weighted and unweighted solves).
     r_px = _residuals(
@@ -331,7 +349,7 @@ def solve_ba(
         problem.frame_idx, problem.point_idx, problem.mask,
     )
     rmse = jnp.sqrt(_allsum(jnp.sum(r_px * r_px), axis_name) / n_valid)
-    return BAResult(cam, pts, cost, rmse, iters)
+    return BAResult(cam, pts, cost, rmse, iters, lam_out)
 
 
 # --------------------------------------------------------------------------
@@ -349,6 +367,7 @@ def adjust_points(
     mask: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
+    init_lambda: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, BAResult]:
     """Full bundle adjustment over cameras and points.
 
@@ -358,6 +377,8 @@ def adjust_points(
     and same outputs — refined (P,3) points plus (F,4,4) homogeneous
     extrinsics as ``reformatPointResult`` returns (``bundleAdjuster.py:153``)
     — with the solver stats appended.
+
+    ``init_lambda``: optional runtime damping warm-start (see ``solve_ba``).
     """
     extrinsics = jnp.asarray(extrinsics)
     points_3d = jnp.asarray(points_3d).reshape(-1, 3)
@@ -383,16 +404,44 @@ def adjust_points(
     # the point-sharded path too (where the per-video recompile is a
     # multi-device program and costs even more).
     problem = _pad_problem(problem, config.bucket)
-    if config.point_shard_devices > 1:
-        # Opt-in sharded single-problem solve (SURVEY §5.7): lazy import to
-        # avoid a module cycle (parallel.sharded imports this module).
+    shards = max(config.point_shard_devices, 1)
+    if config.hbm_strip_budget_bytes > 0:
+        # The no-silent-OOM band: the dense Schur strip a (P, F, 6, 3) plus
+        # its V^-1 product peak at ~2 * P_local * F * 72 bytes of f32. If the
+        # requested sharding (or the single device) cannot hold it, shard the
+        # points over enough devices that each holds a strip inside the
+        # budget — or refuse with the numbers spelled out.
+        pb, fb = problem.points.shape[0], problem.cam_params.shape[0]
+        itemsize = jnp.promote_types(problem.points.dtype, jnp.float32).itemsize
+        strip_bytes = 2 * pb * fb * 18 * itemsize
+        need = -(-strip_bytes // config.hbm_strip_budget_bytes)  # ceil
+        if need > shards:
+            avail = len(jax.devices())
+            if need > avail:
+                raise ValueError(
+                    f"BA problem too large for the configured memory band: "
+                    f"the dense Schur strip over {pb} points x {fb} cameras "
+                    f"is ~{strip_bytes / 2**20:.1f} MiB, needing {need} "
+                    f"point shards at hbm_strip_budget_bytes="
+                    f"{config.hbm_strip_budget_bytes / 2**20:.1f} MiB/device, "
+                    f"but only {avail} devices are addressable. Run on a "
+                    f"larger slice, raise solver.hbm_strip_budget_bytes, or "
+                    f"reduce the problem (fewer tracks/keyframes)."
+                )
+            shards = int(need)
+    if shards > 1:
+        # Sharded single-problem solve (SURVEY §5.7) — opt-in via
+        # point_shard_devices or auto-selected by the band above; lazy import
+        # to avoid a module cycle (parallel.sharded imports this module).
         from meatmodeler_tpu.parallel import sharded
 
-        n = min(config.point_shard_devices, len(jax.devices()))
+        n = min(shards, len(jax.devices()))
         mesh = sharded.make_mesh(data=n, model=1)
-        result = sharded.solve_ba_point_sharded(mesh, problem, config=config)
+        result = sharded.solve_ba_point_sharded(
+            mesh, problem, config=config, init_lambda=init_lambda
+        )
     else:
-        result = solve_ba(problem, config=config)
+        result = solve_ba(problem, config=config, init_lambda=init_lambda)
     result = result._replace(
         cam_params=result.cam_params[:n_f], points=result.points[:n_p]
     )

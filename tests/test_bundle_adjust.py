@@ -304,3 +304,69 @@ class TestObservationWeights:
         err_unw = np.linalg.norm(solve(None) - pts, axis=1).mean()
         err_w = np.linalg.norm(solve((1.0 / sigma).astype(np.float32)) - pts, axis=1).mean()
         assert err_w < 0.8 * err_unw, (err_w, err_unw)
+
+
+class TestWarmStartIncremental:
+    def test_damping_warm_start_cuts_iterations_at_equal_rmse(self):
+        """The incremental-BA pattern (pipeline.incremental_ba): each keyframe
+        prefix re-solved from the previous prefix's solution AND exit damping
+        must spend measurably fewer total LM iterations than cold restarts,
+        at (or better than) the cold path's final RMSE — the online design the
+        reference sketched but never ran (processor.py:395-408)."""
+        K, cams, pts, cams0, pts0, obs, fidx, pidx = make_problem(
+            n_frames=8, n_points=120, seed=3, pose_noise=0.05
+        )
+        ext0 = np.asarray(projection.extrinsics_from_params(cams0))
+        fidx_j = jnp.asarray(fidx)
+        cfg = SolverConfig()
+
+        def run(warm: bool):
+            ext_cur, pts_cur, lam = ext0, pts0, None
+            total = 0
+            for k in range(3, 9):
+                pts_cur, ext4, res = ba.adjust_points(
+                    ext_cur if warm else ext0,
+                    K,
+                    pts_cur if warm else pts0,
+                    obs,
+                    fidx,
+                    pidx,
+                    mask=fidx_j < k,
+                    config=cfg,
+                    init_lambda=lam if warm else None,
+                )
+                ext_cur = np.asarray(ext4)[:, :3, :]
+                if warm:
+                    # The pipeline's capped carry: an exploded exit lambda
+                    # (LM walks damping UP through rejected steps near
+                    # convergence) must not make the next prefix's first
+                    # tiny step satisfy ftol immediately — measured 10+ px
+                    # premature stops at ftol=1e-6 without the cap.
+                    lam = min(float(res.final_lambda) * cfg.lambda_down, cfg.init_lambda)
+                total += int(res.iterations)
+            return total, float(res.rmse)
+
+        warm_iters, warm_rmse = run(warm=True)
+        cold_iters, cold_rmse = run(warm=False)
+        assert warm_rmse <= cold_rmse * 1.02, (warm_rmse, cold_rmse)
+        # Measured on this problem: 22 warm vs 37 cold iterations in the
+        # pipeline's f32; 20 vs 23 under the suite's x64 (the f64 cold solve
+        # wanders less near convergence, shrinking the gap).
+        assert warm_iters < cold_iters, (warm_iters, cold_iters)
+
+    def test_final_lambda_reported_and_consumed(self):
+        K, cams, pts, cams0, pts0, obs, fidx, pidx = make_problem(
+            n_frames=4, n_points=40, seed=5
+        )
+        _, _, res = ba.adjust_points(
+            np.asarray(projection.extrinsics_from_params(cams0)),
+            K, pts0, obs, fidx, pidx,
+        )
+        lam = float(res.final_lambda)
+        assert np.isfinite(lam) and lam > 0
+        # Feeding it back must be accepted and converge to the same solution.
+        _, _, res2 = ba.adjust_points(
+            np.asarray(projection.extrinsics_from_params(cams0)),
+            K, pts0, obs, fidx, pidx, init_lambda=jnp.asarray(lam),
+        )
+        np.testing.assert_allclose(float(res2.rmse), float(res.rmse), rtol=0.02)

@@ -1,0 +1,138 @@
+"""Real-accelerator test subset (VERDICT r2 #7): first-class TPU-backend
+coverage for the paths whose correctness was previously bench-incidental.
+
+Run with the device visible:
+
+    MEATMODELER_TPU_TESTS=1 python -m pytest tests -m tpu -q
+
+Normal suite runs exclude these (pyproject addopts -m 'not tpu'); the
+conftest only virtualizes the CPU mesh when MEATMODELER_TPU_TESTS is unset.
+Every test double-checks the backend and skips (never fails) off-TPU.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+if os.environ.get("MEATMODELER_TPU_TESTS", "") != "1":
+    pytest.skip(
+        "TPU subset: set MEATMODELER_TPU_TESTS=1 (and have the device up)",
+        allow_module_level=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("no accelerator backend")
+    return jax.devices()[0]
+
+
+class TestPallasClaheOnDevice:
+    def test_matches_xla_oracle_exactly(self, tpu):
+        """The Pallas VMEM-histogram CLAHE must match the XLA oracle on the
+        REAL backend (interpret-mode parity already runs in the CPU suite;
+        this is the Mosaic-compiled kernel)."""
+        import jax.numpy as jnp
+
+        from meatmodeler_tpu.ops import clahe
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, size=(256, 384)).astype(np.float32))
+        served = np.asarray(clahe.clahe(img))
+        assert clahe.LAST_PATH["path"] == "pallas", clahe.LAST_PATH
+        oracle = np.asarray(clahe.clahe_xla(img))
+        np.testing.assert_array_equal(served, oracle)
+
+    def test_batch_shape(self, tpu):
+        import jax.numpy as jnp
+
+        from meatmodeler_tpu.ops import clahe
+
+        rng = np.random.default_rng(1)
+        batch = jnp.asarray(rng.uniform(0, 255, size=(4, 128, 256)).astype(np.float32))
+        out = np.asarray(clahe.clahe(batch))
+        assert out.shape == batch.shape and np.isfinite(out).all()
+
+
+class TestApproxTopKOnDevice:
+    def test_good_features_oversampled_ranking_sane(self, tpu):
+        """approx_max_k (the TPU-native ranking) vs exact lax.top_k on the
+        real backend: the oversampled path must recover the exact top
+        corners (identical positions as sets) on a structured image."""
+        import jax.numpy as jnp
+
+        from meatmodeler_tpu.ops import features
+
+        rng = np.random.default_rng(2)
+        img = rng.uniform(0, 30, size=(240, 320)).astype(np.float32)
+        # Plant strong corners on a grid.
+        for y in range(20, 240, 30):
+            for x in range(20, 320, 30):
+                img[y : y + 6, x : x + 6] = 255.0 * ((y // 30 + x // 30) % 2)
+        img_j = jnp.asarray(img)
+        approx = features.good_features(img_j, max_corners=64)
+        exact = features.good_features(img_j, max_corners=64, exact_topk=True)
+        a = {tuple(p) for p, m in zip(np.asarray(approx.xy), np.asarray(approx.mask)) if m}
+        e = {tuple(p) for p, m in zip(np.asarray(exact.xy), np.asarray(exact.mask)) if m}
+        # Oversampled approx ranking: identical corner SET (ordering may
+        # differ inside response ties).
+        assert len(e) > 16
+        assert len(a & e) >= 0.9 * len(e), (len(a & e), len(e))
+
+
+class TestMatchingOnDevice:
+    def test_hamming_matmul_exact_on_mxu(self, tpu):
+        """The bf16 MXU Hamming matmul must be EXACT (256-long {0,1} dots are
+        integers <= 256, inside bf16 accumulation range by construction)."""
+        import jax.numpy as jnp
+
+        from meatmodeler_tpu.ops.matching import hamming_matrix
+
+        rng = np.random.default_rng(3)
+        q = rng.integers(0, 2, size=(512, 256)).astype(np.int8)
+        t = rng.integers(0, 2, size=(512, 256)).astype(np.int8)
+        d = np.asarray(hamming_matrix(jnp.asarray(q), jnp.asarray(t)))
+        ref = (q[:, None, :] != t[None, :, :]).sum(-1)
+        np.testing.assert_array_equal(d.astype(np.int32), ref)
+
+
+class TestTinyEndToEndOnDevice:
+    def test_small_clip_reconstructs(self, tpu, tmp_path):
+        """One tiny e2e on the real backend: 16 frames at 400x300 through the
+        full pipeline (board detect, ORB, matching, calibration, BA, volume)."""
+        from meatmodeler_tpu.config import (
+            DEFAULT_CONFIG,
+            KeyframeConfig,
+            MatcherConfig,
+            OrbConfig,
+            TrackConfig,
+            VolumeConfig,
+        )
+        from meatmodeler_tpu.io.synthetic import TurntableScene, render_sequence
+        from meatmodeler_tpu.pipeline import process
+
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            keyframe=dataclasses.replace(
+                KeyframeConfig(), max_corners=256, threshold=0.02
+            ),
+            orb=OrbConfig(num_features=768, num_levels=2),
+            matcher=MatcherConfig(max_matches=512),
+            tracks=TrackConfig(max_tracks=2048, max_keyframes=32),
+            volume=VolumeConfig(voxel_resolution=48),
+            frame_chunk=8,
+        )
+        scene = TurntableScene(image_size=(400, 300), focal=420.0, noise_sigma=1.0)
+        frames, _, _ = render_sequence(scene, 16, seed=0)
+        result = process(frames, path=str(tmp_path / "run"), config=cfg)
+        assert np.isfinite(result.reprojection_rmse)
+        assert result.reprojection_rmse < 2.0
+        assert len(result.points) > 30
+        assert abs(result.intrinsics[0, 0] - scene.focal) / scene.focal < 0.08
