@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from meatmodeler_tpu.geometry import so3
+from meatmodeler_tpu.geometry.triangulation import triangulate_pairs
 
 __all__ = [
     "RansacResult",
@@ -508,20 +509,44 @@ def estimate_relative_pose(
         e = e / jnp.maximum(jnp.linalg.norm(e), 1e-12)
         res = _sampson(e, x1, x2)
         inl = (res < thr2) & mask
-        # MSAC: sum of gate-truncated residuals. Inlier COUNT cannot tell two
-        # models apart when both explain the matches inside the gate.
-        msac = jnp.sum(jnp.where(mask, jnp.minimum(res, thr2), 0.0))
-        # Cheirality: the Sampson cost is blind to the twisted-pair twin —
-        # on narrow baselines the WRONG twin often fits the epipolar
-        # residuals as well as (or better than) the true pose, but it puts a
-        # large fraction of the points behind a camera. Decompose and count.
-        rvd, tvd, votes = recover_pose(e, pts1, pts2, inl, intrinsics)
-        return jnp.sum(inl), msac, jnp.max(votes), rvd, tvd, e, res, inl
+        # The Sampson cost is blind to the twisted-pair twin — decompose and
+        # cheirality-vote to pin the candidate to its in-front twin.
+        rvd, tvd, _ = recover_pose(e, pts1, pts2, inl, intrinsics)
 
-    n_inl, msacs, cheir, rvds, tvds, es_ref, ress, inls = jax.vmap(score)(rvs, tvs)
-    # Most points in front of both cameras wins; MSAC breaks ties.
-    order = cheir.astype(jnp.float32) - msacs / (jnp.max(msacs) + 1e-30)
+        # Score by TRIANGULATED REPROJECTION, not epipolar distance: a
+        # (quasi-)planar point set is consistent with a whole family of
+        # epipolar geometries — every member zeroes the Sampson error on the
+        # plane, so MSAC/cheirality cannot tell the true pose from the
+        # planar-degenerate impostors (measured: compact-object bootstraps
+        # picked poses whose triangulated scene depth was 4-5x off while
+        # out-scoring the truth on Sampson). The depth RELIEF only shows up
+        # after triangulation: the wrong family member reprojects off-plane
+        # points with errors proportional to the relief (ORB-SLAM's
+        # CheckRT-style scoring).
+        rd = so3.exp(rvd)
+        x3 = triangulate_pairs(
+            eye34_n, jnp.concatenate([rd, tvd[:, None]], axis=1), n1, n2
+        )
+        z1 = x3[:, 2]
+        xc2 = x3 @ rd.T + tvd
+        z2 = xc2[:, 2]
+        safe1 = jnp.where(jnp.abs(z1) > 1e-9, z1, 1e-9)
+        safe2 = jnp.where(jnp.abs(z2) > 1e-9, z2, 1e-9)
+        r1 = jnp.sum((x3[:, :2] / safe1[:, None] - n1) ** 2, axis=1)
+        r2 = jnp.sum((xc2[:, :2] / safe2[:, None] - n2) ** 2, axis=1)
+        rmax = jnp.maximum(r1, r2)
+        good = mask & (z1 > 1e-6) & (z2 > 1e-6) & (rmax < rthr2)
+        msac_r = jnp.sum(jnp.where(mask, jnp.minimum(rmax, rthr2), 0.0))
+        return jnp.sum(good), msac_r, rvd, tvd, e, res, inl
+
+    eye34_n = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    rthr2 = 4.0 * thr2  # reprojection gate: 2x the epipolar gate, squared
+    n_good, msacs, rvds, tvds, es_ref, ress, inls = jax.vmap(score)(rvs, tvs)
+    # Most triangulated-and-reprojected inliers win; truncated reprojection
+    # cost breaks ties.
+    order = n_good.astype(jnp.float32) - msacs / (jnp.max(msacs) + 1e-30)
     best = jnp.argmax(order)
+    n_inl = jnp.sum(inls, axis=1)
 
     result = RansacResult(
         matrix=es_ref[best],

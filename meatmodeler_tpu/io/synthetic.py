@@ -24,6 +24,29 @@ import numpy as np
 __all__ = ["TurntableScene", "render_sequence"]
 
 
+def _speckle(px, py, pz, m):
+    """Aperiodic surface speckle at world point (px, py, pz); ``m`` is the
+    array module (numpy or jax.numpy — the two renderers must match).
+
+    Five incommensurate 3D-coupled sinusoids: a texture with a single
+    low-frequency period (the original ``sin(7x)cos(6z)``) is a barber pole
+    — surface points one period apart are visually IDENTICAL, descriptor
+    matching locks onto the moving phase instead of the moving surface
+    (measured: matched flow dx ~2.7 px where the true surface flow is
+    6.3 px), and no robust estimator can recover pose from consistently
+    aliased correspondences. Incommensurate frequencies make every patch on
+    the object unique at ORB-patch scale, like real-world texture.
+    """
+    return (
+        150.0
+        + 30.0 * m.sin(7.13 * px + 3.71 * pz + 0.9)
+        + 26.0 * m.cos(11.71 * pz - 2.93 * py + 0.4)
+        + 22.0 * m.sin(9.41 * py + 2.17 * px + 2.2)
+        + 18.0 * m.sin(15.97 * px - 7.73 * pz + 1.1)
+        + 14.0 * m.cos(21.31 * py + 5.09 * pz + 3.0)
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class TurntableScene:
     """Scene + camera-rig description. Distances in board-square units
@@ -48,6 +71,16 @@ class TurntableScene:
     # squares): the marker-free test scene, where the only trackable
     # structure is the ellipsoid's speckle texture.
     show_board: bool = True
+    # Amplitude (grey levels) of a weak aperiodic speckle on the ground
+    # sheet's white areas. 0 = perfectly uniform sheet. A compact textured
+    # object over a FEATURELESS ground is gauge-ambiguous for monocular SfM
+    # (the bas-relief family: measured on the 24-frame marker-free clip, a
+    # pose 27 deg off reprojects every observation at 0.58 px, tying the
+    # truth at 0.53 — no estimator can separate them from image evidence).
+    # Real tabletop scenes have surface grain; a few grey levels of it puts
+    # background parallax in view and makes the scene well-posed, so the
+    # marker-free accuracy gates use ground_texture > 0.
+    ground_texture: float = 0.0
 
     @property
     def intrinsics(self) -> np.ndarray:
@@ -115,6 +148,11 @@ def _checker_color(u: np.ndarray, v: np.ndarray, scene: TurntableScene) -> np.nd
     if not scene.show_board:
         checker = np.full_like(checker, 235.0)
     color = np.where(in_board, checker, np.where(in_apron, 235.0, np.nan))
+    if scene.ground_texture > 0:
+        # Weak sheet grain on the white areas only (dark squares keep their
+        # detector contrast). _speckle at plane coords stays aperiodic.
+        grain = scene.ground_texture * (_speckle(u, 0.0, v, np) - 150.0) / 110.0
+        color = np.where(color > 128, np.clip(color + grain, 0, 255), color)
     return color
 
 
@@ -166,11 +204,7 @@ def _render_frame(scene: TurntableScene, rot: np.ndarray, tvec: np.ndarray, rng)
         light = np.array([0.4, -0.8, 0.45])
         light = light / np.linalg.norm(light)
         lam = np.clip(np.einsum("...i,i", n_norm, -light), 0.35, 1.0)
-        tex = (
-            150
-            + 55 * np.sin(7.0 * p_hit[..., 0]) * np.cos(6.0 * p_hit[..., 2])
-            + 45 * np.sin(9.0 * p_hit[..., 1] + 2.0 * p_hit[..., 0])
-        )
+        tex = _speckle(p_hit[..., 0], p_hit[..., 1], p_hit[..., 2], np)
         img = np.where(ell_ok, np.clip(tex * lam, 15, 250), img)
 
     if scene.noise_sigma > 0:
@@ -289,6 +323,14 @@ def _render_frames_jax(
         if not scene.show_board:
             checker = jnp.full_like(checker, 235.0)
         color_v = jnp.where(in_board, checker, 235.0)
+        if scene.ground_texture > 0:
+            # Mirror of _checker_color's sheet grain (white areas only).
+            grain = (
+                scene.ground_texture * (_speckle(pu, 0.0, pv, jnp) - 150.0) / 110.0
+            )
+            color_v = jnp.where(
+                color_v > 128, jnp.clip(color_v + grain, 0, 255), color_v
+            )
         plane_ok = hit & (in_board | in_apron)
         img = jnp.where(plane_ok & (tt < depth), color_v, img)
         depth = jnp.where(plane_ok, jnp.minimum(depth, tt), depth)
@@ -310,11 +352,7 @@ def _render_frames_jax(
         light = np.array([0.4, -0.8, 0.45])
         light = jnp.asarray(light / np.linalg.norm(light), jnp.float32)
         lam = jnp.clip(jnp.einsum("...i,i", n_norm, -light), 0.35, 1.0)
-        tex = (
-            150
-            + 55 * jnp.sin(7.0 * p_hit[..., 0]) * jnp.cos(6.0 * p_hit[..., 2])
-            + 45 * jnp.sin(9.0 * p_hit[..., 1] + 2.0 * p_hit[..., 0])
-        )
+        tex = _speckle(p_hit[..., 0], p_hit[..., 1], p_hit[..., 2], jnp)
         img = jnp.where(ell_ok, jnp.clip(tex * lam, 15, 250), img)
 
         grey = jnp.clip(img + scene.noise_sigma * noise, 0, 255)

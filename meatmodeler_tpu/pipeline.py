@@ -57,7 +57,7 @@ except Exception:
 
 from meatmodeler_tpu import tracks as tracks_mod
 from meatmodeler_tpu import volume as volume_mod
-from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig, SolverConfig
 from meatmodeler_tpu.geometry import calibration, distortion, pnp, projection, triangulation
 from meatmodeler_tpu.io import native_ops
 from meatmodeler_tpu.io import ply as ply_mod
@@ -128,6 +128,7 @@ def _make_keyframe_scan(config: PipelineConfig):
             quality_level=kf.quality_level,
             min_distance=kf.min_distance,
             block_size=kf.block_size,
+            exact_topk=kf.exact_topk,
         )
         return c.xy, c.mask
 
@@ -222,7 +223,7 @@ def _make_orb_minibatch(orb_cfg):
     """
 
     @jax.jit
-    def run(stack, bin_weights):
+    def orb_minibatch(stack, bin_weights):
         return jax.vmap(
             lambda g: orb.detect_and_compute(
                 g,
@@ -235,7 +236,7 @@ def _make_orb_minibatch(orb_cfg):
             )
         )(stack)
 
-    return lambda stack: run(stack, orb.brief_bin_weights())
+    return lambda stack: orb_minibatch(stack, orb.brief_bin_weights())
 
 
 @functools.lru_cache(maxsize=8)
@@ -249,7 +250,7 @@ def _make_pose_stage(side_length: float):
     """
 
     @jax.jit
-    def run(corners, intr, dist_coefs, obj_z0):
+    def pose_stage(corners, intr, dist_coefs, obj_z0):
         und_corners = jax.vmap(
             lambda c: distortion.undistort_pixels(c, intr, dist_coefs)
         )(corners)
@@ -264,7 +265,7 @@ def _make_pose_stage(side_length: float):
         )
         return und_corners, poses
 
-    return run
+    return pose_stage
 
 
 @functools.lru_cache(maxsize=8)
@@ -282,7 +283,7 @@ def _make_triangulate_gate(
     """
 
     @jax.jit
-    def run(store, ext_refined, intr, dist_coefs, projections):
+    def triangulate_gate(store, ext_refined, intr, dist_coefs, projections):
         # Undistort all track coordinates once; BA/triangulation are pinhole.
         coords_und = distortion.undistort_pixels(store.coords, intr, dist_coefs)
         store = store._replace(coords=coords_und)
@@ -333,7 +334,7 @@ def _make_triangulate_gate(
         store = store._replace(points=jnp.where(finite[:, None], pts3d, 0.0))
         return store, tri_valid & finite & inlier, jnp.sum(finite & ~inlier), parallax_deg
 
-    return run
+    return triangulate_gate
 
 
 _WARMED: set = set()
@@ -425,7 +426,7 @@ def _make_board_detect_batch(pattern, max_candidates, tol, exact_topk=False):
     """One jitted vmapped board-detect program over a fixed-size stack."""
 
     @jax.jit
-    def run(stack):
+    def board_detect_batch(stack):
         # uint8 stacks arrive from the host pass-1 backend (CLAHE'd smalls
         # round-trip as one byte per pixel); the detector math is float.
         stack = stack.astype(jnp.float32)
@@ -436,7 +437,7 @@ def _make_board_detect_batch(pattern, max_candidates, tol, exact_topk=False):
             )
         )(stack)
 
-    return run
+    return board_detect_batch
 
 
 def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
@@ -474,8 +475,8 @@ def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
 
 
 def _resolve_board_corners(
-    kf_frames, kf_corners, kf_small_dev, kf_small_host, pattern, scale, config,
-    metrics, kf_scale=1,
+    kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices, pattern,
+    scale, config, metrics, kf_scale=1,
 ):
     """Post-pass-1 board detection + sequential orientation anchoring.
 
@@ -486,7 +487,7 @@ def _resolve_board_corners(
     then get the sequential 180-degree orientation anchoring (detectors flip
     the symmetric grid between frames).
 
-    Returns (kept kf_frames, kept corners).
+    Returns (kept kf_frames, kept corners, kept global frame indices).
     """
     mode = config.chessboard.detector
     # In auto mode a pattern larger than the candidate budget falls through
@@ -502,7 +503,7 @@ def _resolve_board_corners(
         )
         dev_results = dict(zip(pending, cand))
 
-    out_frames, out_corners = [], []
+    out_frames, out_corners, out_indices = [], [], []
     prev = None
     for i in range(n):
         c = kf_corners[i]
@@ -510,7 +511,15 @@ def _resolve_board_corners(
             c = dev_results.get(i)
             device_ran = i in dev_results
             if c is None and mode in ("host", "auto"):
-                c = _detect_board_host(kf_small_host[i], pattern, scale)
+                # cv2 fallback runs on the CLAHE'd small first (the round-1
+                # behavior — low-contrast boards detect better enhanced; the
+                # readback is rare-path only), then the raw host grey.
+                enh = np.clip(
+                    np.round(np.asarray(kf_small_dev[i])), 0, 255
+                ).astype(np.uint8)
+                c = _detect_board_host(enh, pattern, scale)
+                if c is None:
+                    c = _detect_board_host(kf_small_host[i], pattern, scale)
                 if c is None and scale > kf_scale:
                     # Rare fallback: read back the retained keyframe (shipped
                     # at 1/kf_scale resolution) and detect on that.
@@ -532,7 +541,8 @@ def _resolve_board_corners(
         prev = c
         out_frames.append(kf_frames[i])
         out_corners.append(c)
-    return out_frames, out_corners
+        out_indices.append(kf_indices[i])
+    return out_frames, out_corners, out_indices
 
 
 def _run_pass1(
@@ -579,6 +589,7 @@ def _run_pass1(
         kf_corners = []  # known/bootstrap corners (full-res px) or None per keyframe
         kf_small_dev = []  # CLAHE'd downscaled device grey per keyframe
         kf_small_host = []  # raw downscaled host grey per keyframe
+        kf_indices = []  # global frame index of each keyframe (parity/GT eval)
 
         # The caller's default device, captured HERE: uploads below may run
         # on the resolver worker thread, and jax.default_device is
@@ -586,7 +597,7 @@ def _run_pass1(
         # keyframes would land on the wrong device and re-transfer later.
         target_device = jax.default_device.value
 
-        def retain_keyframe(frame_host, small_dev, small_host, corners):
+        def retain_keyframe(frame_host, small_dev, small_host, corners, global_idx):
             """Upload one keyframe at 1/kf_scale resolution; in "grey" pass-2
             mode it ships as one byte per pixel (native host conversion)."""
             p2s = p2s_box[0] or 1
@@ -602,6 +613,7 @@ def _run_pass1(
             kf_corners.append(corners)
             kf_small_dev.append(small_dev)
             kf_small_host.append(np.ascontiguousarray(small_host))
+            kf_indices.append(int(global_idx))
 
         def known_of(global_idx):
             return chessboard.canonicalize_corners(
@@ -620,7 +632,9 @@ def _run_pass1(
                 # chunk uploads, and pass 2 then starts with everything
                 # already device-resident. Only keyframes ship at full
                 # resolution (the link burst-throttles).
-                retain_keyframe(chunk_host[i], greys_dev[i], grey_host[i], c)
+                retain_keyframe(
+                    chunk_host[i], greys_dev[i], grey_host[i], c, idx0 + int(i)
+                )
             logger.debug(
                 "pass1 resolve@%d: sync %.3fs (%d kf)", idx0, t1 - t0, int(flags.sum())
             )
@@ -680,7 +694,7 @@ def _run_pass1(
                 if markerfree or known_corners is not None:
                     start = 0
                     c0 = known_of(idx0) if known_corners is not None else None
-                    retain_keyframe(chunk[0], greys[0], grey_host[0], c0)
+                    retain_keyframe(chunk[0], greys[0], grey_host[0], c0, idx0)
                 elif config.chessboard.detector == "device":
                     cand = _detect_board_device_batch(
                         [greys[i] for i in range(real_len)],
@@ -689,7 +703,9 @@ def _run_pass1(
                     for i, c0 in enumerate(cand):
                         if c0 is not None:
                             start = i
-                            retain_keyframe(chunk[i], greys[i], grey_host[i], c0)
+                            retain_keyframe(
+                                chunk[i], greys[i], grey_host[i], c0, idx0 + i
+                            )
                             break
                 else:
                     # Host bootstrap straight from the host greys — zero
@@ -706,7 +722,9 @@ def _run_pass1(
                             c0 = _detect_board_host(grey_full, pattern, 1)
                         if c0 is not None:
                             start = i
-                            retain_keyframe(chunk[i], greys[i], grey_host[i], c0)
+                            retain_keyframe(
+                                chunk[i], greys[i], grey_host[i], c0, idx0 + i
+                            )
                             break
                 if start is None:
                     frame_idx += real_len
@@ -737,8 +755,8 @@ def _run_pass1(
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes_selected", len(kf_frames))
     return (
-        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale,
-        p2s_box[0] or 1,
+        kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices,
+        frame_idx, scale, p2s_box[0] or 1,
     )
 
 
@@ -775,13 +793,14 @@ def _run_pass1_host(
         kf_small_dev = []  # HOST uint8 CLAHE'd smalls (uploaded in one batch
         #                    by the device board detector if it runs)
         kf_small_host = []  # raw downscaled host grey per keyframe
+        kf_indices = []  # global frame index of each keyframe (parity/GT eval)
         target_device = jax.default_device.value
         scanner = None
         warm_thread = None
         executor = ThreadPoolExecutor(max_workers=1)
         futures = []
 
-        def retain_keyframe(frame_host, small_enh, small_host, corners):
+        def retain_keyframe(frame_host, small_enh, small_host, corners, global_idx):
             p2s = p2s_box[0] or 1
             frame_host = np.asarray(frame_host)
             if config.pass2_enhance == "grey" and frame_host.ndim == 3:
@@ -797,6 +816,7 @@ def _run_pass1_host(
                 np.clip(np.round(small_enh), 0, 255).astype(np.uint8)
             )
             kf_small_host.append(np.ascontiguousarray(small_host))
+            kf_indices.append(int(global_idx))
 
         def known_of(global_idx):
             return chessboard.canonicalize_corners(
@@ -806,7 +826,9 @@ def _run_pass1_host(
         def resolve(flags, enhanced, grey_host, chunk_host, idx0):
             for i in np.nonzero(flags)[0]:
                 c = known_of(idx0 + int(i)) if known_corners is not None else None
-                retain_keyframe(chunk_host[i], enhanced[i], grey_host[i], c)
+                retain_keyframe(
+                    chunk_host[i], enhanced[i], grey_host[i], c, idx0 + int(i)
+                )
 
         for chunk in source.chunks(config.frame_chunk):
             if scale == 0:  # auto (resolve on first chunk)
@@ -881,7 +903,7 @@ def _run_pass1_host(
                 # task has been submitted yet, so ordering holds.
                 retain_keyframe(
                     chunk[bootstrap_at], enhanced[bootstrap_at],
-                    grey_host[bootstrap_at], boot_corners,
+                    grey_host[bootstrap_at], boot_corners, idx0 + bootstrap_at,
                 )
                 flags[: bootstrap_at + 1] = False
             futures.append(
@@ -897,8 +919,8 @@ def _run_pass1_host(
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes_selected", len(kf_frames))
     return (
-        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale,
-        p2s_box[0] or 1,
+        kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices,
+        frame_idx, scale, p2s_box[0] or 1,
     )
 
 
@@ -907,90 +929,201 @@ def _run_pass1_host(
 # --------------------------------------------------------------------------
 
 
-def _compose_pose(pose_a: np.ndarray, rvec_rel, tvec_rel) -> np.ndarray:
-    """world->cam_b (6,) from world->cam_a (6,) and relative cam_a->cam_b."""
-    from meatmodeler_tpu.geometry import so3
+@functools.lru_cache(maxsize=8)
+def _make_markerfree_stages(reproj_gate: float):
+    """Two jitted fixed-shape programs for the incremental marker-free chain:
+    masked n-view re-triangulation + validity gating, and reprojection-based
+    support counting. Shapes never change across chain steps (observations
+    beyond the current keyframe are masked), so each compiles once."""
 
-    r_a = np.asarray(so3.exp(jnp.asarray(pose_a[:3])))
-    r_rel = np.asarray(so3.exp(jnp.asarray(rvec_rel)))
-    r_b = r_rel @ r_a
-    t_b = r_rel @ pose_a[3:] + np.asarray(tvec_rel)
-    return np.concatenate([np.asarray(so3.log(jnp.asarray(r_b))), t_b]).astype(
-        np.float32
-    )
+    @jax.jit
+    def triangulate_known(params, known_mask, coords, obs_mask, intr):
+        # Poses for unknown keyframes are placeholders; masking their
+        # observations out of the DLT and the gates keeps them inert.
+        m = obs_mask & known_mask[None, :]
+        exts = projection.extrinsics_from_params(params)
+        projs = projection.projection_from_extrinsic(intr, exts)
+        pts3d = triangulation.triangulate_nview(projs, coords, m)
+        finite = jnp.all(jnp.isfinite(pts3d), axis=1)
+        proj_all = projection.project_points(
+            pts3d[:, None, :], params[None, :, :], intr
+        )  # (T, F, 2)
+        resid = jnp.linalg.norm(proj_all - coords, axis=-1)
+        resid_ok = jnp.where(m, resid, 0.0)
+        # Positive depth in every keyframe that observed the track.
+        cam_z = (
+            jnp.einsum("fj,tj->tf", exts[:, 2, :3], pts3d) + exts[None, :, 2, 3]
+        )
+        in_front = jnp.all(jnp.where(m, cam_z > 1e-3, True), axis=1)
+        valid = (
+            finite
+            & in_front
+            & (jnp.sum(m, axis=1) >= 2)
+            & (jnp.max(resid_ok, axis=1) < reproj_gate)
+        )
+        return jnp.where(finite[:, None], pts3d, 0.0), valid
+
+    @jax.jit
+    def pnp_support(pose, pts3d, xy, m, intr):
+        proj = projection.project_points(pts3d, pose[None].repeat(pts3d.shape[0], 0), intr)
+        resid = jnp.linalg.norm(proj - xy, axis=-1)
+        return m & (resid < 2.0 * reproj_gate)
+
+    return triangulate_known, pnp_support
 
 
-def _chain_keyframe_poses(store, intrinsics, n_kf):
-    """Marker-free keyframe poses: chained essential-matrix RANSAC.
+def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
+    """Marker-free keyframe poses: essential bootstrap + PnP + in-chain BA.
 
-    For each consecutive keyframe pair, tracks observed in both supply
-    correspondences to the batched LO-RANSAC essential estimator
-    (``geometry/ransac.py``); the unobservable per-pair monocular scale is
-    chained through tracks spanning three keyframes (depth-ratio median, the
-    ``odometry.chain_poses`` policy applied to the ORB track store). World
-    frame = keyframe 0's camera; the first baseline sets the global scale
-    (up-to-scale output). Reference analog: none — every reference pose
-    needs the board (``processor.py:175-179``); this is the north-star
-    RANSAC path inside ``process``.
+    The first keyframe pair is posed by the batched LO-RANSAC essential
+    estimator (``geometry/ransac.py``); its unit baseline sets the global
+    (monocular, up-to-scale) gauge. Every LATER keyframe is posed by PnP —
+    a pose-only LM solve (``solvers.bundle_adjust.pose_only_refine``)
+    against the tracks already triangulated in the global gauge — and each
+    addition is followed by a masked warm-started bundle adjustment over
+    everything posed so far (the standard incremental-SfM loop). The
+    refinement is load-bearing, not a luxury: a compact scene gives the
+    two-view bootstrap a shallow cost valley (measured: a 3-degree-off
+    bootstrap pose ties the truth to within 0.01 px of Sampson residual),
+    and pure PnP chaining COMPOUNDS that error into every later pose, where
+    the post-hoc global BA can no longer pull the solution out of the
+    wrong basin. Refining after every addition corrects the poses while
+    the error is still small. All chain stages are fixed-shape (track
+    capacity x keyframe capacity, observations masked), so each compiles
+    exactly once regardless of keyframe count.
 
-    Returns ((F, 3, 4) extrinsics, per-pair inlier counts).
+    PnP chaining keeps every pose in ONE gauge by construction; the previous
+    per-pair essential chaining needed a depth-ratio scale handoff whose
+    errors compounded multiplicatively down the chain (measured on the
+    board-free test scene: per-pair scales of 0.25-0.03 where ~1.0 is true,
+    collapsing later baselines ~10x).
+
+    World frame = keyframe 0's camera (re-anchored after the final
+    refinement — the in-chain BA treats the gauge as free). Reference
+    analog: none — every reference pose needs the board
+    (``processor.py:175-179``); this is the north-star RANSAC path inside
+    ``process``.
+
+    Returns ((F, 3, 4) extrinsics, per-step support counts: epipolar inliers
+    for the bootstrap pair, PnP inlier counts after).
     """
     from meatmodeler_tpu.geometry import ransac
+    from meatmodeler_tpu.solvers import bundle_adjust
 
     k = jnp.asarray(intrinsics, jnp.float32)
     coords = store.coords  # (T, F, 2)
-    obs_mask = np.asarray(store.obs_mask)
-    t_cap = coords.shape[0]
-    key = jax.random.PRNGKey(0)
-    eye34 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    obs_mask = jnp.asarray(store.obs_mask)
+    obs_mask_np = np.asarray(store.obs_mask)
+    f_cap = coords.shape[1]
+    triangulate_known, pnp_support = _make_markerfree_stages(float(reproj_gate))
 
-    poses = [np.zeros(6, np.float32)]
-    inliers_per = []
-    prev_depth = np.full(t_cap, np.nan, np.float32)
-    prev_scale = 1.0
-    for i in range(n_kf - 1):
-        sel = jnp.asarray(obs_mask[:, i] & obs_mask[:, i + 1])
-        pts1 = coords[:, i]
-        pts2 = coords[:, i + 1]
-        rvec, tvec, res = ransac.estimate_relative_pose(
-            pts1, pts2, sel, k, jax.random.fold_in(key, i)
+    # Global observation arrays for the in-chain refinement, built ONCE:
+    # every observed (track, keyframe) cell, fixed shape across chain steps
+    # (not-yet-posed keyframes enter masked).
+    tt, ff = np.nonzero(obs_mask_np)
+    obs_all = coords[jnp.asarray(tt), jnp.asarray(ff)]  # (M, 2)
+    fidx_all = jnp.asarray(ff, jnp.int32)
+    pidx_all = jnp.asarray(tt, jnp.int32)
+
+    # --- bootstrap pair: essential-matrix RANSAC, |t| = 1 sets the gauge ---
+    sel01 = jnp.asarray(obs_mask_np[:, 0] & obs_mask_np[:, 1])
+    rvec, tvec, res = ransac.estimate_relative_pose(
+        coords[:, 0], coords[:, 1], sel01, k, jax.random.PRNGKey(0)
+    )
+    n_inl = int((np.asarray(res.inliers) & np.asarray(sel01)).sum())
+    support = [n_inl]
+    if n_inl < 8:
+        raise ValueError(
+            f"marker-free pose bootstrap failed: keyframe pair (0, 1) has "
+            f"only {n_inl} epipolar inliers (< 8) — the video lacks "
+            "trackable structure or camera motion"
         )
-        ext2 = projection.extrinsics_from_params(
-            jnp.concatenate([rvec, tvec])[None]
-        )[0]
-        pts3d = triangulation.triangulate_pairs(
-            jnp.broadcast_to(k @ eye34, (t_cap, 3, 4)),
-            jnp.broadcast_to(k @ ext2[:3], (t_cap, 3, 4)),
-            pts1,
-            pts2,
+
+    params = np.zeros((f_cap, 6), np.float32)
+    params[1] = np.concatenate([np.asarray(rvec), np.asarray(tvec)])
+    # Placeholder for not-yet-posed keyframes: the last known pose (inert —
+    # their observations are masked out of every stage below).
+    params[2:] = params[1]
+    known = np.zeros(f_cap, bool)
+    known[:2] = True
+
+    pose_cfg = dataclasses.replace(
+        SolverConfig(), ftol=1e-8, max_iters=100
+    )
+    # In-chain refinement solver: moderate iteration budget per step (the
+    # warm start from the previous step's solution makes each solve short).
+    chain_cfg = dataclasses.replace(SolverConfig(), ftol=1e-6, max_iters=30)
+    lam_chain = None
+    for i in range(2, n_kf):
+        pts3d, valid3d = triangulate_known(
+            jnp.asarray(params), jnp.asarray(known), coords, obs_mask, k
         )
-        depth_i = np.asarray(pts3d[:, 2])  # depths in keyframe i's frame
-        inl = np.asarray(res.inliers) & np.asarray(sel)
-        inliers_per.append(int(inl.sum()))
-        if inl.sum() < 8:
+        m = jnp.asarray(valid3d) & obs_mask[:, i]
+        n_m = int(np.asarray(jnp.sum(m)))
+        if n_m < 6:
             raise ValueError(
-                f"marker-free pose bootstrap failed: keyframe pair ({i}, {i + 1}) "
-                f"has only {int(inl.sum())} epipolar inliers (< 8) — the video "
-                "lacks trackable structure or camera motion"
+                f"marker-free PnP chaining failed at keyframe {i}: only "
+                f"{n_m} triangulated tracks visible (< 6) — the video lacks "
+                "persistent trackable structure across keyframes"
             )
-        ok = inl & np.isfinite(depth_i) & (depth_i > 1e-3)
-        # Tracks also seen by the previous pair carry the previous gauge.
-        both = ok & np.isfinite(prev_depth)
-        if both.sum() >= 8:
-            scale = float(np.median(prev_depth[both] / depth_i[both]))
-        else:
-            scale = prev_scale  # constant-speed fallback
-        poses.append(
-            _compose_pose(poses[-1], np.asarray(rvec), np.asarray(tvec) * scale)
-        )
-        cam_next = (np.asarray(ext2[:3, :3]) @ np.asarray(pts3d).T).T + np.asarray(
-            ext2[:3, 3]
-        )
-        prev_depth = np.where(ok, cam_next[:, 2] * scale, np.nan).astype(np.float32)
-        prev_scale = scale
+        # PnP: pose-only LM from the previous keyframe's pose (small
+        # inter-keyframe motion makes it an excellent init), then one
+        # outlier-trimmed re-solve (robustness against the few
+        # mis-triangulated tracks that pass the residual gate).
+        init = jnp.asarray(params[i - 1][None])
+        xy = coords[:, i][None]
+        refined = bundle_adjust.pose_only_refine(
+            init, pts3d[None], k, xy, m[None], config=pose_cfg
+        )[0]
+        inl = pnp_support(refined, pts3d, coords[:, i], m, k)
+        n_inl_i = int(np.asarray(jnp.sum(inl)))
+        if n_inl_i >= 6 and n_inl_i < n_m:
+            refined = bundle_adjust.pose_only_refine(
+                refined[None], pts3d[None], k, xy, inl[None], config=pose_cfg
+            )[0]
+        support.append(max(n_inl_i, 0))
+        params[i] = np.asarray(refined)
+        known[i] = True
 
-    params = jnp.asarray(np.stack(poses))
-    return projection.extrinsics_from_params(params), inliers_per
+        # In-chain BA over keyframes 0..i: re-triangulate against the
+        # updated pose set, then a masked warm-started solve (points +
+        # poses). Shapes are the fixed (f_cap, T, M) caps — one compile
+        # serves every step; the previous step's exit damping warm-starts
+        # the next (same cap policy as _solve_and_finish's incremental BA).
+        known_j = jnp.asarray(known)
+        pts3d, valid3d = triangulate_known(
+            jnp.asarray(params), known_j, coords, obs_mask, k
+        )
+        _, ext4, ba_res = bundle_adjust.adjust_points(
+            projection.extrinsics_from_params(jnp.asarray(params)),
+            k,
+            pts3d,
+            obs_all,
+            fidx_all,
+            pidx_all,
+            mask=known_j[fidx_all],
+            weights=jnp.asarray(valid3d)[pidx_all].astype(jnp.float32),
+            config=chain_cfg,
+            init_lambda=lam_chain,
+        )
+        # np.array (copy): np.asarray of a jax array is a read-only view,
+        # and the next PnP step writes params[i] in place.
+        params = np.array(projection.params_from_extrinsics(ext4[:, :3, :]))
+        lam_chain = min(
+            float(ba_res.final_lambda) * chain_cfg.lambda_down,
+            chain_cfg.init_lambda,
+        )
+
+    # Re-anchor the gauge to keyframe 0 (the refinement lets every camera
+    # float): ext_i' = ext_i o ext_0^{-1}.
+    params_j = jnp.asarray(params[:n_kf])
+    exts = projection.extrinsics_from_params(params_j)
+    r0 = exts[0, :3, :3]
+    t0 = exts[0, :3, 3]
+    r_new = exts[:, :3, :3] @ r0.T
+    t_new = exts[:, :3, 3] - jnp.einsum("fij,j->fi", r_new, t0)
+    exts = jnp.concatenate([r_new, t_new[:, :, None]], axis=2)
+    return exts, support
 
 
 # --------------------------------------------------------------------------
@@ -1057,18 +1190,18 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         n_kf = len(kf_corners)
         frame_idx = int(data["frames_total"])
         p2s = int(data["kf_scale"]) if "kf_scale" in data else 1
+        kf_indices = list(data["indices"]) if "indices" in data else []
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes", n_kf)
     else:
-        kf_frames, kf_corners, kf_small_dev, kf_small_host, frame_idx, scale, p2s = (
-            run_pass1()
-        )
+        (kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices,
+         frame_idx, scale, p2s) = run_pass1()
         with metrics.stage("board_detect"):
             # Batched post-pass detection (one device program + one readback
             # for the whole keyframe set) + sequential orientation anchoring;
             # boardless keyframes are dropped (processor.py:369-371).
-            kf_frames, kf_corners = _resolve_board_corners(
-                kf_frames, kf_corners, kf_small_dev, kf_small_host,
+            kf_frames, kf_corners, kf_indices = _resolve_board_corners(
+                kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices,
                 pattern, scale, config, metrics, kf_scale=p2s,
             )
         n_kf = len(kf_frames)
@@ -1082,14 +1215,18 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             logger.info(
                 "only %d board keyframes; falling back to marker-free path", n_kf
             )
-            kf_frames, kf_corners, _, _, frame_idx, scale, p2s = run_pass1(
-                markerfree=True, known=None,
+            kf_frames, kf_corners, _, _, kf_indices, frame_idx, scale, p2s = (
+                run_pass1(markerfree=True, known=None)
             )
             n_kf = len(kf_frames)
             metrics.count("keyframes", n_kf)
     if markerless:
         metrics.count("markerless", True)
     metrics.count("kf_scale", p2s)
+    # Which source frames became keyframes — ground-truth evaluation (the
+    # marker-free Umeyama gate aligns per-keyframe poses) and host/device
+    # selection-parity debugging both need the mapping.
+    metrics.count("keyframe_indices", [int(i) for i in kf_indices])
 
     if n_kf < 3:
         raise ValueError(
@@ -1142,6 +1279,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
                     ),
                     frames_total=frame_idx,
                     kf_scale=p2s,
+                    indices=np.asarray(kf_indices, np.int64),
                 )
 
     # ---- PASS 2: batched keyframe processing ----
@@ -1196,9 +1334,9 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
     # ---- GEOMETRY ----
     h, w = kf_stack.shape[1:]
     if markerless:
-        # Marker-free bootstrap: assumed pinhole K, poses chained from
-        # essential-matrix RANSAC between consecutive keyframes with
-        # track-based scale chaining. Output is up-to-scale.
+        # Marker-free bootstrap: assumed pinhole K; the first pair is posed
+        # by essential-matrix RANSAC, later keyframes by PnP against the
+        # incrementally triangulated tracks. Output is up-to-scale.
         focal = config.markerless_focal or 1.2 * max(int(w), int(h))
         intr = jnp.asarray(
             [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
@@ -1207,7 +1345,8 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         dist_coefs = jnp.zeros(5, jnp.float32)
         with metrics.stage("pose_chain"):
             ext_refined, chain_inliers = _chain_keyframe_poses(
-                store, intr, n_kf
+                store, intr, n_kf,
+                reproj_gate=config.tracks.max_reproj_px / p2s,
             )
             metrics.count("pose_chain_inliers", chain_inliers)
             numerics.check_finite("pose_chain", extrinsics=ext_refined)
@@ -1385,9 +1524,16 @@ def _solve_and_finish(
             # re-solve the BA on the observation prefix. One compiled masked
             # solve is reused for every prefix (shapes never change); the
             # final prefix IS the global problem.
+            # Warm-started: each prefix starts from the previous prefix's
+            # refined parameters AND its exit damping — prefix k+1 differs
+            # from k by one keyframe's observations, so the previous solution
+            # is a near-optimum and the LM converges in a couple of
+            # iterations instead of repeating the full damping walk.
             ext_cur, pts_cur = pre.ext_refined, pre.points
             fidx_j = jnp.asarray(pre.fidx)
             rmse_steps = []
+            lam_cur = None
+            iters_total = 0
             for k in range(3, n_kf + 1):
                 pts_cur, ext4, ba_res = bundle_adjust.adjust_points(
                     ext_cur,
@@ -1399,11 +1545,25 @@ def _solve_and_finish(
                     mask=fidx_j < k,
                     weights=pre.obs_weight,
                     config=config.solver,
+                    init_lambda=lam_cur,
                 )
                 ext_cur = ext4[:, :3, :]
+                # Carry the exit damping down one notch, CAPPED at the cold
+                # init value: near convergence LM walks lambda up through
+                # rejected steps, and an uncapped carry makes the next
+                # prefix's first (tiny) step satisfy ftol immediately —
+                # measured: premature stop at 10+ px RMSE at ftol=1e-6
+                # without the cap, vs 40% fewer total iterations at equal
+                # RMSE with it (tests/test_bundle_adjust.py).
+                lam_cur = min(
+                    float(ba_res.final_lambda) * config.solver.lambda_down,
+                    config.solver.init_lambda,
+                )
                 rmse_steps.append(float(ba_res.rmse))
+                iters_total += int(ba_res.iterations)
             new_pts, new_ext = pts_cur, ext4
             metrics.count("ba_rmse_px_steps", rmse_steps)
+            metrics.count("ba_iterations_total", iters_total)
         else:
             new_pts, new_ext, ba_res = bundle_adjust.adjust_points(
                 pre.ext_refined,
