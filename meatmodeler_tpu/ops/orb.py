@@ -237,6 +237,7 @@ def detect_and_compute(
     fast_threshold: float = 20.0,
     bin_weights: jax.Array | None = None,
     topk_recall: float = 0.95,
+    grid_cells: int = 0,
 ) -> OrbFeatures:
     """Oriented-FAST detection + rBRIEF description over a scale pyramid.
 
@@ -252,6 +253,16 @@ def detect_and_compute(
         and thread it through as an argument — leaving it None inside a
         trace silently embeds the 52 MB matrix as an HLO constant and costs
         minutes of compile time (see ``brief_bin_weights``).
+      grid_cells: spatially-bucketed selection: divide each level into a
+        G x G cell grid and cap every cell at ceil(budget / G^2) keypoints
+        before the global ranking (cv2's ORB spreads keypoints with a
+        quadtree for the same reason). 0 = pure global ranking. With global
+        ranking, weak-texture regions lose every slot to the strongest
+        object corners; their keypoints flicker in and out of the top-k
+        between keyframes, killing multi-view track survival exactly where
+        the marker-free chain needs background parallax (measured on the
+        ground-textured marker-free scene: three-view track support ~50 of
+        212 pair matches).
 
     Returns:
       OrbFeatures with per-keypoint position (level-0 pixels), response,
@@ -267,6 +278,7 @@ def detect_and_compute(
         scale_factor=scale_factor,
         fast_threshold=fast_threshold,
         topk_recall=topk_recall,
+        grid_cells=grid_cells,
     )
 
 
@@ -274,7 +286,7 @@ def detect_and_compute(
     jax.jit,
     static_argnames=(
         "max_features", "num_levels", "scale_factor", "fast_threshold",
-        "topk_recall",
+        "topk_recall", "grid_cells",
     ),
 )
 def _detect_and_compute(
@@ -285,6 +297,7 @@ def _detect_and_compute(
     scale_factor: float,
     fast_threshold: float,
     topk_recall: float,
+    grid_cells: int = 0,
 ) -> OrbFeatures:
     img = jnp.asarray(img)
     # Geometric per-level budget, like ORB's feature distribution.
@@ -319,7 +332,7 @@ def _detect_and_compute(
             & (yy >= margin) & (yy < h - margin)
             & (xx >= margin) & (xx < w - margin)
         )
-        flat = jnp.where(ok, resp, -jnp.inf).reshape(-1)
+        masked = jnp.where(ok, resp, -jnp.inf)
         # Small images (deep pyramid levels, warmup probes) can have fewer
         # pixels than the level's feature budget; top-k requires k <= n, so
         # select what exists and pad the static capacity with masked slots.
@@ -330,13 +343,55 @@ def _detect_and_compute(
         # a missed corner is just a marginally weaker keypoint set, and
         # capacity k usually exceeds the number of true corners anyway.
         # Exact on CPU (sort fallback); topk_recall=1.0 forces exact top_k.
-        if topk_recall >= 1.0:
-            top_resp, top_idx = jax.lax.top_k(flat, k_eff)
-        else:
-            top_resp, top_idx = jax.lax.approx_max_k(
-                flat, k_eff, recall_target=topk_recall
+        if grid_cells > 1 and h >= grid_cells and w >= grid_cells:
+            # Bucketed selection: rank within G x G cells first (cap
+            # ceil(k/G^2) per cell), then rank the cell survivors globally.
+            # Every cell keeps its best local corners regardless of how they
+            # compare to the globally strongest region, so weak-texture
+            # areas hold stable top-k membership across keyframes. Static
+            # shapes throughout: (G^2, cell_px) batched top-k on the MXU-
+            # adjacent sort units, then one (G^2 * k_cell,) global top-k.
+            g = grid_cells
+            ph, pw = -h % g, -w % g
+            padded = jnp.pad(
+                masked, ((0, ph), (0, pw)), constant_values=-jnp.inf
             )
-            top_idx = top_idx.astype(jnp.int32)
+            hh, ww = h + ph, w + pw
+            ch, cw = hh // g, ww // g
+            cells = (
+                padded.reshape(g, ch, g, cw).transpose(0, 2, 1, 3)
+                .reshape(g * g, ch * cw)
+            )
+            k_cell = min(-(-k // (g * g)), ch * cw)
+            if topk_recall >= 1.0:
+                c_resp, c_idx = jax.lax.top_k(cells, k_cell)
+            else:
+                c_resp, c_idx = jax.lax.approx_max_k(
+                    cells, k_cell, recall_target=topk_recall
+                )
+                c_idx = c_idx.astype(jnp.int32)
+            ci = jnp.arange(g * g, dtype=jnp.int32)
+            cy = (ci // g)[:, None] * ch + c_idx // cw
+            cx = (ci % g)[:, None] * cw + c_idx % cw
+            cand_resp = c_resp.reshape(-1)
+            # Padded-strip candidates carry -inf response (masked
+            # downstream); clamp their (y, x) into the true image so the
+            # patch gathers they still feed stay in bounds.
+            cand_idx = (
+                jnp.minimum(cy, h - 1) * w + jnp.minimum(cx, w - 1)
+            ).reshape(-1)
+            k_eff = min(k_eff, cand_resp.shape[0])
+            top_resp, sel = jax.lax.top_k(cand_resp, k_eff)
+            top_idx = cand_idx[sel]
+        else:
+            flat = masked.reshape(-1)
+            if topk_recall >= 1.0:
+                top_resp, top_idx = jax.lax.top_k(flat, k_eff)
+            else:
+                top_resp, top_idx = jax.lax.approx_max_k(
+                    flat, k_eff, recall_target=topk_recall
+                )
+                top_idx = top_idx.astype(jnp.int32)
         if k_eff < k:
             top_resp = jnp.pad(top_resp, (0, k - k_eff), constant_values=-jnp.inf)
             top_idx = jnp.pad(top_idx, (0, k - k_eff))

@@ -233,6 +233,7 @@ def _make_orb_minibatch(orb_cfg):
                 fast_threshold=orb_cfg.fast_threshold,
                 bin_weights=bin_weights,
                 topk_recall=orb_cfg.topk_recall,
+                grid_cells=orb_cfg.grid_cells,
             )
         )(stack)
 
@@ -1066,18 +1067,43 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
                 f"{n_m} triangulated tracks visible (< 6) — the video lacks "
                 "persistent trackable structure across keyframes"
             )
-        # PnP: pose-only LM from the previous keyframe's pose (small
-        # inter-keyframe motion makes it an excellent init), then one
-        # outlier-trimmed re-solve (robustness against the few
-        # mis-triangulated tracks that pass the residual gate).
-        init = jnp.asarray(params[i - 1][None])
-        xy = coords[:, i][None]
-        refined = bundle_adjust.pose_only_refine(
-            init, pts3d[None], k, xy, m[None], config=pose_cfg
+        # PnP: MULTI-START pose-only LM — one batched solve from (a) the
+        # previous keyframe's pose and (b) the constant-velocity SE(3)
+        # extrapolation E_pred = (E_{i-1} E_{i-2}^{-1}) E_{i-1}; the winner
+        # is the start with more reprojection inliers. The previous-pose
+        # init alone biases LM toward a rotation-dominant basin on
+        # turntable-like motion (measured: camera centers stall after ~5
+        # keyframes while rotations keep tracking); the extrapolated start
+        # carries the translation momentum that basin lacks. Both starts
+        # ride ONE (2, ...) batched LM solve — same compiled program.
+        e_prev1 = np.eye(4)
+        e_prev1[:3] = np.asarray(
+            projection.extrinsics_from_params(jnp.asarray(params[i - 1][None]))
         )[0]
-        inl = pnp_support(refined, pts3d, coords[:, i], m, k)
-        n_inl_i = int(np.asarray(jnp.sum(inl)))
+        e_prev2 = np.eye(4)
+        e_prev2[:3] = np.asarray(
+            projection.extrinsics_from_params(jnp.asarray(params[i - 2][None]))
+        )[0]
+        e_pred = (e_prev1 @ np.linalg.inv(e_prev2)) @ e_prev1
+        p_pred = np.asarray(
+            projection.params_from_extrinsics(jnp.asarray(e_pred[None, :3, :]))
+        )[0]
+        starts = jnp.asarray(np.stack([params[i - 1], p_pred]))  # (2, 6)
+        xy = coords[:, i][None]
+        xy2 = jnp.broadcast_to(coords[:, i], (2,) + coords[:, i].shape)
+        pts2 = jnp.broadcast_to(pts3d, (2,) + pts3d.shape)
+        m2 = jnp.broadcast_to(m, (2,) + m.shape)
+        cands = bundle_adjust.pose_only_refine(
+            starts, pts2, k, xy2, m2, config=pose_cfg
+        )  # (2, 6)
+        inl2 = jax.vmap(lambda p: pnp_support(p, pts3d, coords[:, i], m, k))(cands)
+        counts = np.asarray(jnp.sum(inl2, axis=1))
+        best = int(np.argmax(counts))
+        refined, inl = cands[best], inl2[best]
+        n_inl_i = int(counts[best])
         if n_inl_i >= 6 and n_inl_i < n_m:
+            # Outlier-trimmed re-solve on the winner (robustness against
+            # the few mis-triangulated tracks that pass the residual gate).
             refined = bundle_adjust.pose_only_refine(
                 refined[None], pts3d[None], k, xy, inl[None], config=pose_cfg
             )[0]
@@ -1648,33 +1674,42 @@ def _estimate_volume(
         )
         pmask = jnp.where(jnp.sum(certain) >= 32, certain, pmask)
     item_mask = volume_mod.split_item_points(pts_j, pmask, use_plane=use_plane)
+    # The hull's trimmed support gets the UNGATED item cloud: the order-
+    # statistic trim is its robustifier, and stacking the sigma/parallax
+    # gates on top digs the support into the true surface (measured -20%
+    # at the e2e scene). The gates still serve the carve's silhouettes.
+    support_mask = volume_mod.split_item_points(
+        pts_j, jnp.ones(pts_j.shape[0], bool), use_plane=use_plane
+    )
     n_item = int(np.asarray(item_mask).sum())
     have_item = n_item >= 8
     if have_item:
-        vol_hull = float(
-            volume_mod.convex_hull_volume(
-                pts_j, item_mask, resolution=config.volume.voxel_resolution
-            )
-        )
         proj_new = projection.projection_from_extrinsic(intrinsics, ext4[:, :3, :])
-        vol_carve = float(
-            volume_mod.carved_volume(
-                pts_j,
-                item_mask,
-                proj_new,
-                jnp.ones(n_kf, bool),
-                image_size=(w, h),
-                resolution=config.volume.voxel_resolution,
-                # carve_dilation is denominated in FULL-resolution pixels;
-                # the projections here are in working-res (1/kf_scale) units.
-                # The silhouette grid step likewise shrinks so its full-res-
-                # equivalent granularity stays constant.
-                dilation=max(1, round(config.volume.carve_dilation / kf_scale)),
-                grid_step=max(1, 4 // kf_scale),
-                close_frac=config.volume.carve_close_frac,
-                vote_frac=config.volume.carve_vote_frac,
-            )
+        # One carve serves both estimators: the hull is (robust symmetric
+        # completion of the seen surface) ∩ (visual hull) — see
+        # hull_and_carved_volume for why neither a sparse-point hull nor a
+        # silhouette carve alone can estimate volume from a one-sided view
+        # wedge.
+        vol_hull_j, vol_carve_j = volume_mod.hull_and_carved_volume(
+            pts_j,
+            item_mask,
+            proj_new,
+            jnp.ones(n_kf, bool),
+            image_size=(w, h),
+            resolution=config.volume.voxel_resolution,
+            num_directions=config.volume.hull_directions,
+            trim=config.volume.hull_trim,
+            # carve_dilation is denominated in FULL-resolution pixels;
+            # the projections here are in working-res (1/kf_scale) units.
+            # The silhouette grid step likewise shrinks so its full-res-
+            # equivalent granularity stays constant.
+            dilation=max(1, round(config.volume.carve_dilation / kf_scale)),
+            grid_step=max(1, 4 // kf_scale),
+            close_frac=config.volume.carve_close_frac,
+            vote_frac=config.volume.carve_vote_frac,
+            support_mask=support_mask,
         )
+        vol_hull, vol_carve = float(vol_hull_j), float(vol_carve_j)
     else:
         vol_hull = vol_carve = float("nan")
     return vol_hull, vol_carve, int(np.asarray(item_mask).sum())

@@ -92,6 +92,58 @@ class TestCarvedVolume:
         # Carving with dilated sparse silhouettes overestimates; bound loosely.
         assert 0.5 * truth < vol < 2.5 * truth, (vol, truth)
 
+    def test_hull_and_carved_one_sided_wedge(self):
+        """The pipeline estimator's design case: cameras on a narrow arc see
+        ONE side of the item. The visual hull cannot close the unseen side
+        (its cone intersection stays open — measured +132% with exact
+        silhouettes at the e2e scene), and the seen-surface point hull
+        misses half the body; the symmetric-completion ∩ carve estimator
+        must still land near truth."""
+        import meatmodeler_tpu.geometry.so3 as so3
+
+        center = np.array([0.0, -3.0, 1.0])
+        r_sph = 1.5
+        pts = sphere_points(n=3000)
+        # Cameras on a 50-degree arc at -z: keep only the surface the wedge
+        # actually sees (outward normal facing the cameras), plus a few
+        # mis-triangulated outliers the trim must absorb.
+        seen = pts[(pts[:, 2] - center[2]) < 0.4 * r_sph]
+        rng = np.random.default_rng(7)
+        outliers = center + rng.normal(size=(6, 3)) * np.array([3.0, 3.0, 5.0])
+        cloud = np.vstack([seen, outliers]).astype(np.float32)
+
+        k = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+        poses = []
+        for i in range(8):
+            ang = np.deg2rad(-25 + 50 * i / 7)
+            rvec = np.array([0.0, ang, 0.0])
+            rot = np.asarray(so3.exp(rvec))
+            cam = center + 12 * np.array([np.sin(ang), 0.0, -np.cos(ang)])
+            poses.append(np.concatenate([rvec, -rot @ cam]))
+        projs = np.asarray(
+            projection.projection_from_extrinsic(
+                jnp.asarray(k),
+                projection.extrinsics_from_params(jnp.asarray(np.stack(poses))),
+            )
+        )
+        mask = np.ones(len(cloud), bool)
+        mask[len(seen):] = True  # outliers NOT masked: the trim must eat them
+        hull, carve = volume.hull_and_carved_volume(
+            jnp.asarray(cloud),
+            jnp.asarray(mask),
+            jnp.asarray(projs),
+            jnp.ones(8, bool),
+            image_size=(640, 480),
+            resolution=96,
+            dilation=12,
+        )
+        hull, carve = float(hull), float(carve)
+        truth = 4 / 3 * np.pi * r_sph**3
+        # The wedge-limited carve overestimates (open cone); the hull must
+        # recover truth despite seeing one side + outliers.
+        assert carve > hull, (carve, hull)
+        assert 0.8 * truth < hull < 1.25 * truth, (hull, truth)
+
     def test_split_item_points(self):
         item = sphere_points(n=500, center=(0.0, -3.0, 0.0))
         board = np.column_stack(
