@@ -296,7 +296,22 @@ class PipelineConfig:
     markerless_fallback: bool = True
     # Assumed focal length (px) for the marker-free path; 0 = auto
     # (1.2 * max(width, height), the classic uncalibrated-bootstrap prior).
+    # Real deployments should pass the EXIF/calibrated focal when available:
+    # turntable-style orbits are a CRITICAL MOTION SEQUENCE for monocular
+    # self-calibration (Sturm 1997) — no estimator can recover focal from
+    # such footage, and an assumed focal distorts the up-to-scale
+    # reconstruction in ways a similarity alignment cannot absorb.
     markerless_focal: float = 0.0
+    # Bootstrap board-hunt budget when the marker-free fallback is armed:
+    # after this many board-free leading frames, pass 1 stops hunting and
+    # the marker-free path engages immediately. The hunt costs a host cv2
+    # detect per frame (the reference busy-loops on it FOREVER,
+    # processor.py:315-319; measured here pre-budget: 356 s of a 378 s warm
+    # run on a board-free 720p clip). Frames past the first few probe in
+    # cv2's FAST_CHECK mode (cheap no-board rejection). 0 = hunt every
+    # frame (the pre-round-3 behavior). Ignored when markerless_fallback is
+    # off — a board-required run still scans everything before raising.
+    board_probe_frames: int = 45
     # Incremental (online) bundle adjustment: re-solve the BA after every
     # keyframe prefix instead of once globally — the reference's *intended*
     # design, left commented out at processor.py:395-408 (SURVEY.md §2.2).

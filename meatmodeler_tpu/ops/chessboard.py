@@ -84,11 +84,20 @@ def canonicalize_corners(corners: np.ndarray, pattern: Tuple[int, int]) -> np.nd
     return c.reshape(-1, 2)
 
 
-def find_chessboard(grey: np.ndarray, pattern: Tuple[int, int]) -> Optional[np.ndarray]:
+def find_chessboard(
+    grey: np.ndarray, pattern: Tuple[int, int], fast_probe: bool = False
+) -> Optional[np.ndarray]:
     """Detect inner corners on the host. Returns (N, 2) float32 or None.
 
     Corner order matches OpenCV's (row-major over the pattern), which the
     calibration/pose stages rely on for 2D-3D correspondence.
+
+    ``fast_probe=True`` adds CALIB_CB_FAST_CHECK and skips the SB fallback:
+    a cheap is-there-a-board-at-all probe for the bootstrap hunt over
+    board-free leading frames (a full no-board detect costs seconds per
+    1080p frame, nearly all of it in the SB fallback; the fast check
+    rejects in milliseconds). Probe callers must keep a full-detector
+    safety net — FAST_CHECK can false-negative small or blurred boards.
     """
     try:
         import cv2
@@ -96,6 +105,17 @@ def find_chessboard(grey: np.ndarray, pattern: Tuple[int, int]) -> Optional[np.n
         return None
 
     img = np.ascontiguousarray(np.clip(np.asarray(grey), 0, 255).astype(np.uint8))
+    if fast_probe:
+        ok, corners = cv2.findChessboardCorners(
+            img,
+            pattern,
+            flags=cv2.CALIB_CB_ADAPTIVE_THRESH
+            | cv2.CALIB_CB_NORMALIZE_IMAGE
+            | cv2.CALIB_CB_FAST_CHECK,
+        )
+        if not ok:
+            return None
+        return corners.reshape(-1, 2).astype(np.float32)
     # Classic detector first: it is ~10x faster than findChessboardCornersSB
     # and its lower corner precision is irrelevant here — callers refine to
     # sub-pixel on device afterwards (refine_corners_subpix) and validate

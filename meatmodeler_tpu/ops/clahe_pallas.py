@@ -31,13 +31,35 @@ _ROWS_APPLY = 4  # image rows per LUT-apply inner step (bounds one-hot VMEM)
 
 
 def _hist_contrib(rows, bins, tx, tw):
-    """(R, Wp) integer-valued rows -> (tx, 256) histogram contribution."""
-    parts = []
-    for c in range(tx):
-        tile = rows[:, c * tw : (c + 1) * tw]
-        eq = (tile[:, :, None] == bins).astype(jnp.float32)
-        parts.append(eq.sum((0, 1)))
-    return jnp.stack(parts)
+    """(R, Wp) integer-valued rows -> (tx, 256) histogram contribution.
+
+    The per-pixel one-hot is rank-expanded only at LANE-ALIGNED column
+    offsets (512-wide chunks): slicing each tile column at ``c * tw`` and
+    expanding there trips Mosaic's unsupported-reshape path at some widths
+    (measured: tw=50 fails, tw=40/60/120/240 compile), and tile widths are
+    set by the image, not by us. Pixels are attributed to their tile column
+    by a (tx, Wp) 0/1 selector matmul instead — an MXU dot, no unaligned
+    slices. bf16 one-hot halves the chunk's VMEM (exact: values 0/1, row
+    sums <= R, counts accumulate in f32 on the MXU).
+    """
+    r, wp = rows.shape
+    tile_of = jax.lax.broadcasted_iota(jnp.int32, (tx, wp), 1) // tw
+    sel = (
+        tile_of == jax.lax.broadcasted_iota(jnp.int32, (tx, wp), 0)
+    ).astype(jnp.bfloat16)
+    wc = 512  # chunk width: multiple of the 128-lane register, bounds VMEM
+    out = jnp.zeros((tx, 256), jnp.float32)
+    for c0 in range(0, wp, wc):
+        chunk = rows[:, c0 : min(c0 + wc, wp)]
+        eq = (chunk[:, :, None] == bins).astype(jnp.bfloat16)  # (R, wc, 256)
+        colhist = eq.sum(0)  # (wc, 256); exact in bf16 (<= R)
+        out = out + jax.lax.dot_general(
+            sel[:, c0 : min(c0 + wc, wp)],
+            colhist,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out
 
 
 def _lut_kernel(img_ref, lut_ref, hist_ref, *, tx, tw, th, clip_limit):

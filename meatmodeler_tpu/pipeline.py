@@ -399,7 +399,7 @@ def _board_fit_residual(corners: np.ndarray, pattern) -> float:
     return float(np.abs(proj - img).max())
 
 
-def _detect_board_host(grey_small, pattern, scale):
+def _detect_board_host(grey_small, pattern, scale, fast_probe=False):
     """Detect the chessboard on a (possibly downscaled) host grey image.
 
     Returns full-resolution corner estimates or None. The result is
@@ -408,15 +408,49 @@ def _detect_board_host(grey_small, pattern, scale):
     detector's failure mode on oblique views) shows up as a multi-pixel
     outlier and the detection is rejected rather than corrupting
     calibration. Sub-pixel refinement happens later on device at full
-    resolution.
+    resolution. ``fast_probe`` — see ``chessboard.find_chessboard``.
     """
-    c = chessboard.find_chessboard(grey_small, pattern)
+    c = chessboard.find_chessboard(grey_small, pattern, fast_probe=fast_probe)
     if c is None:
         return None
     c = chessboard.canonicalize_corners(np.asarray(c, np.float32) * scale, pattern)
     if _board_fit_residual(c, pattern) > 3.0 * scale:
         return None
     return c
+
+
+class _BoardProbe:
+    """Bootstrap board-hunt budget for board-free leading frames.
+
+    Active only when the marker-free fallback is armed (it is the safety
+    net): after ``config.board_probe_frames`` board-free frames the hunt
+    stops and pass 1 returns empty, engaging the marker-free path without
+    scanning (and full-res cv2-detecting) the whole clip — the reference
+    busy-loops forever here (``processor.py:315-319``). The first few
+    probes use the full detector (maximum robustness for the common
+    board-at-start case); later ones use cv2's FAST_CHECK mode, whose rare
+    false negatives the fallback absorbs.
+    """
+
+    _FULL_PROBES = 3  # leading probes that use the full detector
+
+    def __init__(self, config: PipelineConfig, armed: bool):
+        self.enabled = (
+            armed and config.markerless_fallback and config.board_probe_frames > 0
+        )
+        self.budget = config.board_probe_frames
+        self.probed = 0
+
+    @property
+    def fast_mode(self) -> bool:
+        return self.enabled and self.probed >= self._FULL_PROBES
+
+    @property
+    def exhausted(self) -> bool:
+        return self.enabled and self.probed >= self.budget
+
+    def note_miss(self) -> None:
+        self.probed += 1
 
 
 _DETECT_MINIBATCH = 8
@@ -645,6 +679,7 @@ def _run_pass1(
         # compute of chunk k+1 (single worker = keyframe order preserved).
         executor = ThreadPoolExecutor(max_workers=1)
         futures = []
+        probe = _BoardProbe(config, armed=not markerfree and known_corners is None)
 
         warm_thread = None
         for chunk in source.chunks(config.frame_chunk):
@@ -708,11 +743,17 @@ def _run_pass1(
                                 chunk[i], greys[i], grey_host[i], c0, idx0 + i
                             )
                             break
+                        probe.note_miss()
                 else:
                     # Host bootstrap straight from the host greys — zero
                     # device readbacks; full-res retry per frame (rare).
                     for i in range(real_len):
-                        c0 = _detect_board_host(grey_host[i], pattern, scale)
+                        if probe.exhausted:
+                            break
+                        fast = probe.fast_mode
+                        c0 = _detect_board_host(
+                            grey_host[i], pattern, scale, fast_probe=fast
+                        )
                         if c0 is None and scale > 1:
                             frame = np.asarray(chunk[i])
                             grey_full = (
@@ -720,15 +761,23 @@ def _run_pass1(
                                 if frame.ndim == 3
                                 else frame
                             )
-                            c0 = _detect_board_host(grey_full, pattern, 1)
+                            c0 = _detect_board_host(
+                                grey_full, pattern, 1, fast_probe=fast
+                            )
                         if c0 is not None:
                             start = i
                             retain_keyframe(
                                 chunk[i], greys[i], grey_host[i], c0, idx0 + i
                             )
                             break
+                        probe.note_miss()
                 if start is None:
                     frame_idx += real_len
+                    if probe.exhausted:
+                        # Budgeted hunt over: stop consuming and return
+                        # empty — process() engages the marker-free path.
+                        metrics.count("board_probe_exhausted", probe.probed)
+                        break
                     continue
                 carry = init_carry(greys[start])
                 offset = start + 1
@@ -800,6 +849,7 @@ def _run_pass1_host(
         warm_thread = None
         executor = ThreadPoolExecutor(max_workers=1)
         futures = []
+        probe = _BoardProbe(config, armed=not markerfree and known_corners is None)
 
         def retain_keyframe(frame_host, small_enh, small_host, corners, global_idx):
             p2s = p2s_box[0] or 1
@@ -876,7 +926,12 @@ def _run_pass1_host(
                         boot_corners = known_of(idx0)
                 else:
                     for i in range(real_len):
-                        c0 = _detect_board_host(grey_host[i], pattern, scale)
+                        if probe.exhausted:
+                            break
+                        fast = probe.fast_mode
+                        c0 = _detect_board_host(
+                            grey_host[i], pattern, scale, fast_probe=fast
+                        )
                         if c0 is None and scale > 1:
                             frame = np.asarray(chunk[i])
                             grey_full = (
@@ -884,12 +939,21 @@ def _run_pass1_host(
                                 if frame.ndim == 3
                                 else frame
                             )
-                            c0 = _detect_board_host(grey_full, pattern, 1)
+                            c0 = _detect_board_host(
+                                grey_full, pattern, 1, fast_probe=fast
+                            )
                         if c0 is not None:
                             start = i
                             boot_corners = c0
                             break
+                        probe.note_miss()
                 if start is None:
+                    if probe.exhausted:
+                        # Budgeted hunt over: stop consuming the stream and
+                        # return empty — process() engages the marker-free
+                        # path (n_kf < 3 triggers the fallback).
+                        metrics.count("board_probe_exhausted", probe.probed)
+                        break
                     continue
                 bootstrap_at = start
 

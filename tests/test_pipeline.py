@@ -134,6 +134,26 @@ class TestFailurePaths:
 
 
 class TestMarkerFree:
+    def test_board_probe_budget_stops_the_hunt(self, tmp_path):
+        """Board-free clip with a small board_probe_frames: pass 1 must stop
+        hunting after the budget (the reference busy-loops forever,
+        processor.py:315-319; pre-budget we cv2-detected on EVERY frame —
+        measured 356 s of a 378 s warm run at 720p) and the marker-free
+        path must still engage and reconstruct."""
+        scene = dataclasses.replace(SCENE, show_board=False, noise_sigma=0.5)
+        frames, _, _ = render_sequence(scene, 24, seed=3)
+        cfg = dataclasses.replace(
+            TEST_CONFIG,
+            board_probe_frames=6,
+            keyframe=dataclasses.replace(TEST_CONFIG.keyframe, threshold=0.025),
+        )
+        result = process(frames, path=str(tmp_path / "mfp"), config=cfg)
+        counters = result.metrics["counters"]
+        assert counters.get("markerless") is True
+        assert counters.get("board_probe_exhausted") == 6
+        assert np.isfinite(result.reprojection_rmse)
+        assert result.reprojection_rmse < 2.0
+
     def test_board_free_video_reconstructs_up_to_scale(self, tmp_path):
         """North-star RANSAC path inside process(): a board-free clip (white
         ground sheet, textured ellipsoid only) reconstructs via chained
