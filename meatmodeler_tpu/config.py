@@ -225,12 +225,15 @@ class VolumeConfig:
     min_parallax_deg: float = 2.5
     # Hull estimator knobs (volume.hull_and_carved_volume): support-function
     # direction count, and the order-statistic trim (skip the `trim` deepest
-    # points per direction before taking the support). trim=7 lands within
-    # +-14% of ground truth across four validation scenes spanning 400x300
-    # to 1080p and three ellipsoid shapes — it tracks the mis-triangulation
-    # tail, not scene geometry.
+    # points per direction before taking the support, AFTER the visual-hull
+    # membership pruning of the support cloud). trim=9 with pruning lands at
+    # +5.4% on the 1080p bench scene and -3.9% on the 400x300 e2e scene (the
+    # two gated accuracy surfaces); the full scene-spread table is produced
+    # by tools/volume_validation.py — elongated items seen from a narrow arc
+    # remain the weak case (+~40%), the symmetric completion's known
+    # failure direction.
     hull_directions: int = 512
-    hull_trim: int = 7
+    hull_trim: int = 9
 
 
 @dataclasses.dataclass(frozen=True)

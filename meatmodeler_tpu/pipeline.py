@@ -213,6 +213,78 @@ def _clahe_grey_batch(grey_chunk):
 _ORB_MINIBATCH = 4
 
 
+class _Pass2Prefetch:
+    """Overlap pass-2 device compute with the pass-1 host scan.
+
+    Pass 1 with the native host backend is host-bound (~7 ms/frame of C++
+    scan) while the device sits idle, and pass 2's enhance + ORB minibatches
+    depend only on keyframes already retained — so the pass-1 retain worker
+    feeds keyframes here and a dedicated single worker thread dispatches the
+    SAME minibatch programs ``_warm_pass2`` compiles (shape-identical jits,
+    so results are bit-identical to the post-pass batched path; measured on
+    the 1080p bench clip: ~0.9 s of ORB device time hides behind the 2.5 s
+    host scan). Keyframes later dropped by board resolution only cost their
+    wasted device time: minibatch rows are per-image independent, and
+    ``finish``'s caller row-filters to the survivors.
+    """
+
+    def __init__(self, config: PipelineConfig):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._config = config
+        self._pending: list = []
+        self._futures: list = []
+        self.count = 0
+        self._pool = ThreadPoolExecutor(max_workers=1)
+
+    def add(self, frame_dev) -> None:
+        self._pending.append(frame_dev)
+        self.count += 1
+        if len(self._pending) == _ORB_MINIBATCH:
+            batch, self._pending = self._pending, []
+            self._futures.append(self._pool.submit(self._run_mb, batch))
+
+    def _run_mb(self, frames):
+        cfg = self._config
+        stack = jnp.stack(frames)
+        enhance = (
+            _clahe_grey_batch
+            if (cfg.pass2_enhance == "grey" or frames[0].ndim == 2)
+            else _enhanced_grey_batch
+        )
+        enh = enhance(stack)
+        return enh, _make_orb_minibatch(cfg.orb)(enh)
+
+    def discard(self) -> None:
+        self._pool.shutdown(wait=False)
+
+    def finish(self, n: int):
+        """((n, H, W) enhanced stack, ORB pytree with leading dim n), or
+        None when nothing/mismatched was prefetched (caller falls back to
+        the batched path)."""
+        try:
+            if self._pending:
+                # Tail minibatch padded with its last real frame — the same
+                # padding the batched path applies (pads trimmed below).
+                batch = self._pending + [self._pending[-1]] * (
+                    _ORB_MINIBATCH - len(self._pending)
+                )
+                self._pending = []
+                self._futures.append(self._pool.submit(self._run_mb, batch))
+            parts = [f.result() for f in self._futures]
+            self._pool.shutdown(wait=True)
+            if not parts or self.count != n:
+                return None
+            enh = jnp.concatenate([p[0] for p in parts])[:n]
+            orb_b = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs)[:n], *[p[1] for p in parts]
+            )
+            return enh, orb_b
+        except Exception:  # pragma: no cover — prefetch must never break a run
+            logger.debug("pass-2 prefetch failed; using the batched path", exc_info=True)
+            return None
+
+
 @functools.lru_cache(maxsize=8)
 def _make_orb_minibatch(orb_cfg):
     """One jitted ORB program over a fixed (_ORB_MINIBATCH, H, W) stack.
@@ -582,7 +654,7 @@ def _resolve_board_corners(
 
 def _run_pass1(
     video, config, pattern, known_corners, metrics, init_carry, scan_chunk,
-    markerfree: bool = False,
+    markerfree: bool = False, prefetch: "_Pass2Prefetch | None" = None,
 ):
     """PASS 1 driver: stream chunks, run the keyframe scan, detect boards.
 
@@ -645,6 +717,8 @@ def _run_pass1(
             kf_frames.append(
                 jax.device_put(np.ascontiguousarray(frame_host), target_device)
             )
+            if prefetch is not None:
+                prefetch.add(kf_frames[-1])
             kf_corners.append(corners)
             kf_small_dev.append(small_dev)
             kf_small_host.append(np.ascontiguousarray(small_host))
@@ -812,6 +886,7 @@ def _run_pass1(
 
 def _run_pass1_host(
     video, config, pattern, known_corners, metrics, markerfree: bool = False,
+    prefetch: "_Pass2Prefetch | None" = None,
 ):
     """PASS 1 on the host CPU (``config.pass1_backend="host"``).
 
@@ -862,6 +937,8 @@ def _run_pass1_host(
             kf_frames.append(
                 jax.device_put(np.ascontiguousarray(frame_host), target_device)
             )
+            if prefetch is not None:
+                prefetch.add(kf_frames[-1])
             kf_corners.append(corners)
             kf_small_dev.append(
                 np.clip(np.round(small_enh), 0, 255).astype(np.uint8)
@@ -1252,22 +1329,25 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
     pattern = config.chessboard.pattern
     if config.pass1_backend == "host":
         # Native host scan: no device scan programs to build or compile.
-        def run_pass1(markerfree=False, known=known_corners):
+        def run_pass1(markerfree=False, known=known_corners, prefetch=None):
             return _run_pass1_host(
-                video, config, pattern, known, metrics, markerfree=markerfree
+                video, config, pattern, known, metrics, markerfree=markerfree,
+                prefetch=prefetch,
             )
     else:
         init_carry, scan_chunk = _make_keyframe_scan(config)
 
-        def run_pass1(markerfree=False, known=known_corners):
+        def run_pass1(markerfree=False, known=known_corners, prefetch=None):
             return _run_pass1(
                 video, config, pattern, known, metrics, init_carry, scan_chunk,
-                markerfree=markerfree,
+                markerfree=markerfree, prefetch=prefetch,
             )
 
     # ---- PASS 1: stream chunks, select keyframes ----
     kf_stack = None
     markerless = False
+    prefetch = None
+    prefetch_indices = None
     if ckpt.has("keyframes"):
         data = ckpt.load("keyframes")
         # float32 enhanced greys: any rounding here would make resumed runs
@@ -1284,8 +1364,10 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes", n_kf)
     else:
+        prefetch = _Pass2Prefetch(config)
         (kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices,
-         frame_idx, scale, p2s) = run_pass1()
+         frame_idx, scale, p2s) = run_pass1(prefetch=prefetch)
+        prefetch_indices = list(kf_indices)
         with metrics.stage("board_detect"):
             # Batched post-pass detection (one device program + one readback
             # for the whole keyframe set) + sequential orientation anchoring;
@@ -1305,9 +1387,12 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             logger.info(
                 "only %d board keyframes; falling back to marker-free path", n_kf
             )
+            prefetch.discard()
+            prefetch = _Pass2Prefetch(config)
             kf_frames, kf_corners, _, _, kf_indices, frame_idx, scale, p2s = (
-                run_pass1(markerfree=True, known=None)
+                run_pass1(markerfree=True, known=None, prefetch=prefetch)
             )
+            prefetch_indices = list(kf_indices)
             n_kf = len(kf_frames)
             metrics.count("keyframes", n_kf)
     if markerless:
@@ -1336,6 +1421,31 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             "keyframe threshold"
         )
 
+    orb_batch = None
+    if kf_stack is None:
+        # Prefetched path: the enhance + ORB minibatches were dispatched from
+        # the pass-1 retain worker and have been executing behind the host
+        # scan (see _Pass2Prefetch); select the rows that survived board
+        # resolution. Fallback: the post-pass batched path below (identical
+        # programs, identical numerics).
+        pre2 = (
+            prefetch.finish(len(prefetch_indices)) if prefetch is not None else None
+        )
+        if pre2 is not None:
+            enh_all, orb_all = pre2
+            pos = {int(g): i for i, g in enumerate(prefetch_indices)}
+            rows = [pos[int(g)] for g in kf_indices]
+            keep_all = rows == list(range(len(prefetch_indices)))
+            sel = jnp.asarray(rows, jnp.int32)
+            metrics.count("pass2_prefetched", True)
+            with metrics.stage("pass2_preprocess"):
+                kf_stack = enh_all if keep_all else enh_all[sel]
+            with metrics.stage("pass2_orb"):
+                orb_batch = (
+                    orb_all
+                    if keep_all
+                    else jax.tree.map(lambda x: x[sel], orb_all)
+                )
     if kf_stack is None:
         # Upload the full-res keyframe BGR frames, then the exact reference
         # preprocessing (increaseContrast + grey, processor.py:314,357) at
@@ -1357,33 +1467,38 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
                     for i in range(0, len(frames_p), mb)
                 ]
             )[:n_kf]
-            if ckpt.enabled:
-                ckpt.save(
-                    "keyframes",
-                    greys=np.asarray(kf_stack, np.float32),
-                    # (n_kf, 0, 2) = the markerfree sentinel for resume.
-                    corners=(
-                        np.zeros((n_kf, 0, 2), np.float32)
-                        if markerless
-                        else np.stack(kf_corners)
-                    ),
-                    frames_total=frame_idx,
-                    kf_scale=p2s,
-                    indices=np.asarray(kf_indices, np.int64),
-                )
+    if ckpt.enabled and not ckpt.has("keyframes"):
+        ckpt.save(
+            "keyframes",
+            greys=np.asarray(kf_stack, np.float32),
+            # (n_kf, 0, 2) = the markerfree sentinel for resume.
+            corners=(
+                np.zeros((n_kf, 0, 2), np.float32)
+                if markerless
+                else np.stack(kf_corners)
+            ),
+            frames_total=frame_idx,
+            kf_scale=p2s,
+            indices=np.asarray(kf_indices, np.int64),
+        )
 
     # ---- PASS 2: batched keyframe processing ----
-    with metrics.stage("pass2_orb"):
-        # Fixed-size minibatches: one compiled program regardless of the
-        # video's keyframe count (n_kf varies per video and a vmap over all
-        # of it both recompiles every time and, at 1080p, can exceed HBM at
-        # compile time).
-        run_orb = _make_orb_minibatch(config.orb)
-        mb = _ORB_MINIBATCH
-        pads = (-n_kf) % mb
-        stack_p = jnp.concatenate([kf_stack, kf_stack[-1:].repeat(pads, 0)]) if pads else kf_stack
-        parts = [run_orb(stack_p[i : i + mb]) for i in range(0, len(stack_p), mb)]
-        orb_batch = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_kf], *parts)
+    if orb_batch is None:
+        with metrics.stage("pass2_orb"):
+            # Fixed-size minibatches: one compiled program regardless of the
+            # video's keyframe count (n_kf varies per video and a vmap over
+            # all of it both recompiles every time and, at 1080p, can exceed
+            # HBM at compile time).
+            run_orb = _make_orb_minibatch(config.orb)
+            mb = _ORB_MINIBATCH
+            pads = (-n_kf) % mb
+            stack_p = (
+                jnp.concatenate([kf_stack, kf_stack[-1:].repeat(pads, 0)])
+                if pads
+                else kf_stack
+            )
+            parts = [run_orb(stack_p[i : i + mb]) for i in range(0, len(stack_p), mb)]
+            orb_batch = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_kf], *parts)
 
     with metrics.stage("pass2_matching"):
         pair_matches = jax.vmap(
@@ -1427,7 +1542,15 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         # Marker-free bootstrap: assumed pinhole K; the first pair is posed
         # by essential-matrix RANSAC, later keyframes by PnP against the
         # incrementally triangulated tracks. Output is up-to-scale.
-        focal = config.markerless_focal or 1.2 * max(int(w), int(h))
+        # markerless_focal is denominated in FULL-resolution pixels (the
+        # unit a user reads off EXIF/calibration); the working grid here is
+        # 1/p2s of that, so a supplied focal scales down with it. The
+        # assumed prior is computed from the working w/h directly.
+        focal = (
+            config.markerless_focal / p2s
+            if config.markerless_focal
+            else 1.2 * max(int(w), int(h))
+        )
         intr = jnp.asarray(
             [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
             jnp.float32,
@@ -1738,42 +1861,54 @@ def _estimate_volume(
         )
         pmask = jnp.where(jnp.sum(certain) >= 32, certain, pmask)
     item_mask = volume_mod.split_item_points(pts_j, pmask, use_plane=use_plane)
-    # The hull's trimmed support gets the UNGATED item cloud: the order-
-    # statistic trim is its robustifier, and stacking the sigma/parallax
-    # gates on top digs the support into the true surface (measured -20%
-    # at the e2e scene). The gates still serve the carve's silhouettes.
+    # The hull's trimmed support gets the UNGATED item cloud: the sigma/
+    # parallax gates also reject true rim points, and stacking them on the
+    # support digs it into the surface (measured -20% at the e2e scene).
+    # The estimator's own robustness against the mis-triangulated tail is
+    # the silhouette-membership pruning + order-statistic trim inside
+    # hull_and_carved_volume; the gates still serve the carve silhouettes.
     support_mask = volume_mod.split_item_points(
         pts_j, jnp.ones(pts_j.shape[0], bool), use_plane=use_plane
     )
-    n_item = int(np.asarray(item_mask).sum())
-    have_item = n_item >= 8
-    if have_item:
-        proj_new = projection.projection_from_extrinsic(intrinsics, ext4[:, :3, :])
-        # One carve serves both estimators: the hull is (robust symmetric
-        # completion of the seen surface) ∩ (visual hull) — see
-        # hull_and_carved_volume for why neither a sparse-point hull nor a
-        # silhouette carve alone can estimate volume from a one-sided view
-        # wedge.
-        vol_hull_j, vol_carve_j = volume_mod.hull_and_carved_volume(
-            pts_j,
-            item_mask,
-            proj_new,
-            jnp.ones(n_kf, bool),
-            image_size=(w, h),
-            resolution=config.volume.voxel_resolution,
-            num_directions=config.volume.hull_directions,
-            trim=config.volume.hull_trim,
-            # carve_dilation is denominated in FULL-resolution pixels;
-            # the projections here are in working-res (1/kf_scale) units.
-            # The silhouette grid step likewise shrinks so its full-res-
-            # equivalent granularity stays constant.
-            dilation=max(1, round(config.volume.carve_dilation / kf_scale)),
-            grid_step=max(1, 4 // kf_scale),
-            close_frac=config.volume.carve_close_frac,
-            vote_frac=config.volume.carve_vote_frac,
-            support_mask=support_mask,
+    proj_new = projection.projection_from_extrinsic(intrinsics, ext4[:, :3, :])
+    # One carve serves both estimators: the hull is (robust symmetric
+    # completion of the seen surface) ∩ (visual hull) — see
+    # hull_and_carved_volume for why neither a sparse-point hull nor a
+    # silhouette carve alone can estimate volume from a one-sided view
+    # wedge. Dispatched UNCONDITIONALLY (degenerate masks produce NaNs,
+    # discarded below) so the host reads back everything in ONE sync —
+    # each device->host sync costs ~80-130 ms over a tunneled link.
+    vol_hull_j, vol_carve_j = volume_mod.hull_and_carved_volume(
+        pts_j,
+        item_mask,
+        proj_new,
+        jnp.ones(n_kf, bool),
+        image_size=(w, h),
+        resolution=config.volume.voxel_resolution,
+        num_directions=config.volume.hull_directions,
+        trim=config.volume.hull_trim,
+        # carve_dilation is denominated in FULL-resolution pixels;
+        # the projections here are in working-res (1/kf_scale) units.
+        # The silhouette grid step likewise shrinks so its full-res-
+        # equivalent granularity stays constant.
+        dilation=max(1, round(config.volume.carve_dilation / kf_scale)),
+        grid_step=max(1, 4 // kf_scale),
+        close_frac=config.volume.carve_close_frac,
+        vote_frac=config.volume.carve_vote_frac,
+        support_mask=support_mask,
+    )
+    fused = np.asarray(
+        jnp.stack(
+            [
+                vol_hull_j.astype(jnp.float32),
+                vol_carve_j.astype(jnp.float32),
+                jnp.sum(item_mask).astype(jnp.float32),
+            ]
         )
-        vol_hull, vol_carve = float(vol_hull_j), float(vol_carve_j)
+    )
+    n_item = int(fused[2])
+    if n_item >= 8:
+        vol_hull, vol_carve = float(fused[0]), float(fused[1])
     else:
         vol_hull = vol_carve = float("nan")
-    return vol_hull, vol_carve, int(np.asarray(item_mask).sum())
+    return vol_hull, vol_carve, n_item

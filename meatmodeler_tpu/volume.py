@@ -272,7 +272,40 @@ def _carve_occupancy(
     votes = jnp.sum(keeps & proj_mask[:, None], axis=0)
     inside = votes >= jnp.ceil(vote_frac * n_active).astype(votes.dtype)
     voxel_vol = jnp.prod(extent) / (r**3)
-    return inside, centers, voxel_vol
+    return inside, centers, voxel_vol, sils
+
+
+def _points_in_silhouettes(
+    points, projections, proj_mask, sils, grid_step, vote_frac
+):
+    """(P,) mask: point projects inside >= vote_frac of the active views'
+    silhouettes — visual-hull membership, evaluated per POINT with the same
+    splat grids the voxel carve uses.
+
+    The silhouettes are built from the carve's (gated) cloud, so this is a
+    leave-the-suspects-out test: a mis-triangulated point smeared along one
+    view's ray still projects near the item IN THAT VIEW, but its projection
+    in the other views sweeps away from the gated cluster and loses the
+    vote. True surface points — including ones the sigma/parallax gates
+    wrongly reject — project inside every view's silhouette by construction.
+    """
+    gh, gw = sils.shape[1], sils.shape[2]
+    homog = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=1)
+
+    def in_view(projmat, sil, active):
+        uvw = homog @ projmat.T
+        z_ok = uvw[:, 2] > 1e-6
+        uv = uvw[:, :2] / jnp.where(z_ok[:, None], uvw[:, 2:3], 1.0)
+        gx = (uv[:, 0] / grid_step).astype(jnp.int32)
+        gy = (uv[:, 1] / grid_step).astype(jnp.int32)
+        in_img = z_ok & (gx >= 0) & (gx < gw) & (gy >= 0) & (gy < gh)
+        val = sil[jnp.clip(gy, 0, gh - 1), jnp.clip(gx, 0, gw - 1)] > 0.5
+        return jnp.where(active, in_img & val, True)
+
+    votes = jax.vmap(in_view)(projections, sils, proj_mask)  # (F, P)
+    n_active = jnp.maximum(jnp.sum(proj_mask), 1)
+    agree = jnp.sum(votes & proj_mask[:, None], axis=0)
+    return agree >= jnp.ceil(vote_frac * n_active).astype(agree.dtype)
 
 
 @partial(
@@ -309,7 +342,7 @@ def carved_volume(
     Returns:
       scalar carved volume.
     """
-    inside, _, voxel_vol = _carve_occupancy(
+    inside, _, voxel_vol, _ = _carve_occupancy(
         points, mask, projections, proj_mask, image_size, resolution,
         dilation, grid_step, close_frac, vote_frac,
     )
@@ -359,16 +392,20 @@ def hull_and_carved_volume(
     constrain: reflect the seen surface through the carve-occupancy mean
     (a silhouette-constrained centre estimate, unbiased toward the seen
     side unlike the point centroid), take per-direction TRIMMED support
-    values of (points ∪ reflected points), and count voxels inside both
-    that support body and the carve. The order-statistic trim (skip the
-    ``trim`` deepest points per direction) steps past the tail of
-    mis-triangulated survivors that inflate a raw max cubically; the same
-    global trim=7 lands within measurement noise of truth across all four
-    validation scenes (+0.3% test, +1.2% bench 1080p, -0.7% and +13.8% on
-    variant ellipsoids) — it tracks the LO-RANSAC outlier tail, not scene
-    geometry. The symmetry prior is weaker than it sounds: overshoot in any
-    direction the views constrain is carved away by the intersection, so
-    it only fills the genuinely unobserved cone.
+    values of the silhouette-PRUNED support cloud (see the pruning comment
+    at the support step), and count voxels inside both that support body
+    and the carve. The order-statistic trim (skip the ``trim`` deepest
+    points per direction) steps past the residual tail of mis-triangulated
+    survivors that inflate a raw max cubically. Accuracy is validated
+    across a spread of synthetic scenes by ``tools/volume_validation.py``
+    (round-3 table: +5.4% at the 1080p bench scene and -3.9% at the
+    400x300 e2e scene with the shipped pruning + trim=9; wider/denser
+    scenes range -12..+11%, and an elongated item from a narrow 50-degree
+    arc remains the known weak case at +~40% — the symmetric completion
+    cannot know the unseen long-axis extent). The symmetry prior is weaker
+    than it sounds: overshoot in any direction the views constrain is
+    carved away by the intersection, so it only fills the genuinely
+    unobserved cone.
 
     ``volume_carved`` (the raw visual hull) keeps its classic upper-bound
     semantics for non-convex items; ``volume`` (this hull) is the best
@@ -385,13 +422,14 @@ def hull_and_carved_volume(
         carve's silhouettes (e.g. drop coarse-octave / low-parallax points)
         — but applying the same gates to the support points stacks two
         robustifiers and digs the trimmed support into the true surface
-        (measured -20% at the e2e scene). The trim IS the support's
-        robustness; give it the full item cloud.
+        (measured -20% at the e2e scene: the gates also reject true rim
+        points). Give the support the full item cloud; the silhouette
+        membership pruning + the trim are its robustness.
 
     Returns:
       (hull_volume, carved_volume) scalars, world units^3.
     """
-    inside, centers, voxel_vol = _carve_occupancy(
+    inside, centers, voxel_vol, sils = _carve_occupancy(
         points, mask, projections, proj_mask, image_size, resolution,
         dilation, grid_step, close_frac, vote_frac,
     )
@@ -411,9 +449,21 @@ def hull_and_carved_volume(
         nw > 0, jnp.sum(centers * w[:, None], axis=0) / jnp.maximum(nw, 1.0), pt_mean
     )
 
-    # Per-direction trimmed max and trimmed min of the item points — one
-    # (P, D) matmul and two top-k's.
+    # Support cloud: the (possibly wider) support_mask PRUNED BY VISUAL-HULL
+    # MEMBERSHIP — a support point must project inside >= vote_frac of the
+    # active silhouettes (built from the carve's `mask` cloud). This is the
+    # estimator's outlier model: surviving mis-triangulations smear along
+    # single-view rays, so they hold their own view's silhouette but lose
+    # the vote everywhere else, while true surface points (even ones the
+    # sigma/parallax gates reject) pass every view. Without it, one deep
+    # smear drags inf_seen down and the symmetric reflection balloons into
+    # the unseen cone where the carve cannot veto (measured +17.7% at the
+    # 1080p bench scene); with it, the order-statistic trim only has pixel
+    # noise left to absorb (see tools/volume_validation.py for the table).
     smask = mask if support_mask is None else support_mask
+    smask = smask & _points_in_silhouettes(
+        points, projections, proj_mask, sils, grid_step, vote_frac
+    )
     pproj = jnp.dot(pts_f, dirs.T, precision=jax.lax.Precision.HIGHEST)
     k_eff = min(trim + 1, points.shape[0])
     top_hi, _ = jax.lax.top_k(jnp.where(smask[:, None], pproj, -big).T, k_eff)

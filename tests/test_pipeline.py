@@ -82,9 +82,10 @@ class TestEndToEnd:
         truth = SCENE.volume
         assert np.isfinite(result.volume)
         # Hull = symmetric-completion ∩ carve (volume.hull_and_carved_volume)
-        # measures +1.8% at this scene and within +-14% across three other
-        # validation scenes (1080p bench, two variant ellipsoids) — envelope
-        # tightened round-3 from 0.65..1.35 (VERDICT r2 item 5). Carve at
+        # with silhouette-pruned support + trim=9 measures -3.9% at this
+        # scene and +5.4% at the 1080p bench scene (the scene-spread table
+        # lives in tools/volume_validation.py) — envelope tightened round-3
+        # from 0.65..1.35 (VERDICT r2 item 5). Carve at
         # THIS scene's geometry is wedge-limited: with EXACT analytic
         # silhouettes at these 8 views the ideal visual hull is +132%, so
         # its envelope stays wide — the carve is an upper bound by
