@@ -246,6 +246,15 @@ class _Pass2Prefetch:
 
     def _run_mb(self, frames):
         cfg = self._config
+        # Wait for _warm_pass2 to finish compiling the minibatch programs:
+        # dispatching concurrently would race the warmup thread into
+        # compiling the same ORB program twice (~25 s each cold). The event
+        # is set on warmup success OR failure; the timeout turns a
+        # pathological stall (or a key mismatch bug) into the batched
+        # fallback instead of a hang.
+        key = (cfg.orb, cfg.pass2_enhance, tuple(frames[0].shape[:2]))
+        if not _warm_event(key).wait(timeout=600):
+            raise TimeoutError("pass-2 warmup never completed")
         stack = jnp.stack(frames)
         enhance = (
             _clahe_grey_batch
@@ -411,6 +420,24 @@ def _make_triangulate_gate(
 
 
 _WARMED: set = set()
+_WARM_EVENTS: dict = {}
+_WARM_LOCK = None  # lazily created (threading imported on first use)
+
+
+def _warm_event(key):
+    """Per-(config, shape) completion event for _warm_pass2 — the pass-2
+    prefetcher waits on it so it never races the warmup thread into
+    compiling the same ORB program twice."""
+    import threading
+
+    global _WARM_LOCK
+    if _WARM_LOCK is None:
+        _WARM_LOCK = threading.Lock()
+    with _WARM_LOCK:
+        ev = _WARM_EVENTS.get(key)
+        if ev is None:
+            ev = _WARM_EVENTS[key] = threading.Event()
+        return ev
 
 
 def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
@@ -423,10 +450,12 @@ def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
     streaming removes it from the cold critical path.
     """
     key = (config.orb, config.pass2_enhance, grey_shape)
+    ev = _warm_event(key)
     if key in _WARMED:
         # Programs already compiled this process: a repeat dummy execution
         # would cost ~3 s of device occupancy that pass 1's first scan
         # chunks then queue behind on every warm run.
+        ev.set()
         return
     try:
         h, w = grey_shape
@@ -441,6 +470,8 @@ def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
         logger.debug("pass-2 warmup complete")
     except Exception:  # pragma: no cover — warmup must never break the run
         logger.debug("pass-2 warmup failed", exc_info=True)
+    finally:
+        ev.set()
 
 
 def _board_fit_residual(corners: np.ndarray, pattern) -> float:
