@@ -46,7 +46,14 @@ try:  # pragma: no cover - trivially environment-dependent
     if jax.default_backend() not in ("cpu",):
         _cache_dir = _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax")
         jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist even sub-second compiles: the eager glue between jitted
+        # stages (asarray, SO(3) packing, index building) dispatches dozens
+        # of tiny programs whose compiles each cost an 0.5-2 s remote
+        # roundtrip on the tunneled backend. At the default 1.0 s threshold
+        # none of them were written, so EVERY fresh process re-paid ~90 s of
+        # them (measured: a 37 s asarray+params+extrinsics chain drops to
+        # 1.9 s in the next process once persisted).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         # Without these two, several program classes are silently never
         # written (observed: ORB/triangulation entries missing while CLAHE
         # cached fine), leaving minutes of recompiles on every fresh process.
@@ -1248,18 +1255,24 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
         # keyframes while rotations keep tracking); the extrapolated start
         # carries the translation momentum that basin lacks. Both starts
         # ride ONE (2, ...) batched LM solve — same compiled program.
-        e_prev1 = np.eye(4)
-        e_prev1[:3] = np.asarray(
-            projection.extrinsics_from_params(jnp.asarray(params[i - 1][None]))
-        )[0]
-        e_prev2 = np.eye(4)
-        e_prev2[:3] = np.asarray(
-            projection.extrinsics_from_params(jnp.asarray(params[i - 2][None]))
-        )[0]
-        e_pred = (e_prev1 @ np.linalg.inv(e_prev2)) @ e_prev1
-        p_pred = np.asarray(
-            projection.params_from_extrinsics(jnp.asarray(e_pred[None, :3, :]))
-        )[0]
+        # The prediction is 4x4 host bookkeeping on host-resident params —
+        # scipy Rotation (the same exp/log maps as geometry.so3) keeps the
+        # three per-step device round-trips this used to dispatch off the
+        # chain's critical path.
+        from scipy.spatial.transform import Rotation as _Rot
+
+        def _ext_np(p6):
+            e = np.eye(4)
+            e[:3, :3] = _Rot.from_rotvec(p6[:3]).as_matrix()
+            e[:3, 3] = p6[3:]
+            return e
+
+        e_pred = (_ext_np(params[i - 1]) @ np.linalg.inv(_ext_np(params[i - 2]))) @ _ext_np(
+            params[i - 1]
+        )
+        p_pred = np.concatenate(
+            [_Rot.from_matrix(e_pred[:3, :3]).as_rotvec(), e_pred[:3, 3]]
+        ).astype(np.float32)
         starts = jnp.asarray(np.stack([params[i - 1], p_pred]))  # (2, 6)
         xy = coords[:, i][None]
         xy2 = jnp.broadcast_to(coords[:, i], (2,) + coords[:, i].shape)

@@ -385,25 +385,14 @@ def adjust_points(
     points_2d = jnp.asarray(points_2d).reshape(-1, 2)
     frame_indices = jnp.asarray(frame_indices, jnp.int32)
     point_indices = jnp.asarray(point_indices, jnp.int32)
-    if mask is None:
-        mask = jnp.ones(points_2d.shape[0], bool)
+    weights = None if weights is None else jnp.asarray(weights)
 
-    problem = BAProblem(
-        cam_params=projection.params_from_extrinsics(extrinsics),
-        points=points_3d,
-        intrinsics=jnp.asarray(intrinsics),
-        obs=points_2d,
-        frame_idx=frame_indices,
-        point_idx=point_indices,
-        mask=mask,
-        weight=None if weights is None else jnp.asarray(weights),
-    )
-    n_f, n_p = problem.cam_params.shape[0], problem.points.shape[0]
-    # Shape-bucketed solve: problem sizes are data-dependent, so padding to
-    # bucket multiples lets different videos reuse one ~20 s compile — on
-    # the point-sharded path too (where the per-video recompile is a
-    # multi-device program and costs even more).
-    problem = _pad_problem(problem, config.bucket)
+    n_f, n_p = extrinsics.shape[0], points_3d.shape[0]
+    # The shard decision below is pure host shape/config arithmetic on the
+    # PADDED problem sizes — computed without materializing the padded
+    # arrays so the unsharded path can run as one jitted program.
+    pb = _ceil_to(n_p, config.bucket[1])
+    fb = _ceil_to(n_f, config.bucket[0])
     shards = max(config.point_shard_devices, 1)
     if config.hbm_strip_budget_bytes > 0:
         # The no-silent-OOM band: the dense Schur strip a (P, F, 6, 3) plus
@@ -411,8 +400,7 @@ def adjust_points(
         # requested sharding (or the single device) cannot hold it, shard the
         # points over enough devices that each holds a strip inside the
         # budget — or refuse with the numbers spelled out.
-        pb, fb = problem.points.shape[0], problem.cam_params.shape[0]
-        itemsize = jnp.promote_types(problem.points.dtype, jnp.float32).itemsize
+        itemsize = jnp.promote_types(points_3d.dtype, jnp.float32).itemsize
         strip_bytes = 2 * pb * fb * 18 * itemsize
         need = -(-strip_bytes // config.hbm_strip_budget_bytes)  # ceil
         if need > shards:
@@ -435,13 +423,81 @@ def adjust_points(
         # to avoid a module cycle (parallel.sharded imports this module).
         from meatmodeler_tpu.parallel import sharded
 
+        if mask is None:
+            mask = jnp.ones(points_2d.shape[0], bool)
+        problem = _pad_problem(
+            BAProblem(
+                cam_params=projection.params_from_extrinsics(extrinsics),
+                points=points_3d,
+                intrinsics=jnp.asarray(intrinsics),
+                obs=points_2d,
+                frame_idx=frame_indices,
+                point_idx=point_indices,
+                mask=mask,
+                weight=weights,
+            ),
+            config.bucket,
+        )
         n = min(shards, len(jax.devices()))
         mesh = sharded.make_mesh(data=n, model=1)
         result = sharded.solve_ba_point_sharded(
             mesh, problem, config=config, init_lambda=init_lambda
         )
-    else:
-        result = solve_ba(problem, config=config, init_lambda=init_lambda)
+        result = result._replace(
+            cam_params=result.cam_params[:n_f], points=result.points[:n_p]
+        )
+        new_ext = projection.extrinsics_from_params(
+            result.cam_params, homogeneous=True
+        )
+        return result.points, new_ext, result
+    # Single-device path: SO(3) packing, padding, solve, and unpacking fused
+    # into one program — dispatched op-by-op, the glue alone was ~15 tiny
+    # programs whose cold compiles each cost an 0.5-2 s remote roundtrip on
+    # a tunneled backend (see _adjust_pose_jit for the measured pathology).
+    return _adjust_points_jit(
+        extrinsics,
+        jnp.asarray(intrinsics),
+        points_3d,
+        points_2d,
+        frame_indices,
+        point_indices,
+        mask,
+        weights,
+        init_lambda,
+        config=config,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _adjust_points_jit(
+    extrinsics,
+    intrinsics,
+    points_3d,
+    points_2d,
+    frame_indices,
+    point_indices,
+    mask,
+    weights,
+    init_lambda,
+    config: SolverConfig,
+) -> Tuple[jax.Array, jax.Array, BAResult]:
+    if mask is None:
+        mask = jnp.ones(points_2d.shape[0], bool)
+    n_f, n_p = extrinsics.shape[0], points_3d.shape[0]
+    problem = BAProblem(
+        cam_params=projection.params_from_extrinsics(extrinsics),
+        points=points_3d,
+        intrinsics=intrinsics,
+        obs=points_2d,
+        frame_idx=frame_indices,
+        point_idx=point_indices,
+        mask=mask,
+        weight=weights,
+    )
+    # Shape-bucketed solve: problem sizes are data-dependent, so padding to
+    # bucket multiples lets different videos reuse one ~20 s compile.
+    problem = _pad_problem(problem, config.bucket)
+    result = solve_ba(problem, config=config, init_lambda=init_lambda)
     result = result._replace(
         cam_params=result.cam_params[:n_f], points=result.points[:n_p]
     )
@@ -517,9 +573,32 @@ def adjust_pose(
 
     With points fixed, frames decouple: this is F independent 6-dof solves,
     which the Schur solver handles naturally (W = 0).
+
+    The whole body (SO(3) packing, board/index construction, padded solve,
+    unpacking) is one jitted program: traced op-by-op it dispatched ~40 tiny
+    programs whose compiles each cost an 0.5-2 s remote roundtrip on the
+    tunneled backend — 38 s of the 41 s cold pose-BA stage was this glue,
+    not the solver.
     """
-    extrinsics = jnp.asarray(extrinsics)
-    points_2d = jnp.asarray(points_2d).reshape(-1, 2)
+    return _adjust_pose_jit(
+        jnp.asarray(extrinsics),
+        jnp.asarray(intrinsics),
+        jnp.asarray(points_2d).reshape(-1, 2),
+        pattern=pattern,
+        side_length=side_length,
+        config=config,
+    )
+
+
+@partial(jax.jit, static_argnames=("pattern", "side_length", "config"))
+def _adjust_pose_jit(
+    extrinsics,
+    intrinsics,
+    points_2d,
+    pattern: Tuple[int, int],
+    side_length: float,
+    config: SolverConfig,
+) -> Tuple[jax.Array, BAResult]:
     f = extrinsics.shape[0]
     n = points_2d.shape[0] // f
 
@@ -530,7 +609,7 @@ def adjust_pose(
     problem = BAProblem(
         cam_params=projection.params_from_extrinsics(extrinsics),
         points=board,
-        intrinsics=jnp.asarray(intrinsics),
+        intrinsics=intrinsics,
         obs=points_2d,
         frame_idx=frame_idx,
         point_idx=point_idx,
