@@ -101,7 +101,15 @@ def bench_config():
         # frames between 0.1-threshold keyframes starve ORB matching, and
         # point density drives the volume estimate (the capability the
         # reference never shipped).
-        keyframe=dataclasses.replace(KeyframeConfig(), threshold=0.05),
+        # window=15: the cv2-default 21 at the /6 pass-1 resolution tracks a
+        # 6x-larger angular patch than the reference's full-res window.
+        # Measured on this clip: win 15 selects the same 20 keyframes within
+        # +-3 frames, rmse 0.77 vs 0.75 px, volume_err 0.037 vs 0.038 —
+        # and cuts the host scan 1.09 -> 0.79 s (win 11 was rejected:
+        # volume_err 0.124).
+        keyframe=dataclasses.replace(
+            KeyframeConfig(), threshold=0.05, window=15
+        ),
         orb=OrbConfig(num_features=4096, num_levels=4),
         matcher=MatcherConfig(max_matches=2048),
         # Measured at half-res working resolution (sweep on this clip,
@@ -577,6 +585,11 @@ def run_markerless(frames, gt_poses, scene, focal: float = 0.0) -> dict:
         bench_config(),
         pass1_downscale=4,  # 720p: /4 host scan still selects densely enough
         markerless_focal=focal,
+        # The deployment pose this variant models: the caller knows the
+        # footage has no board (and supplies EXIF focal when available), so
+        # pass 1 skips the board hunt + the board-gated scan that the
+        # auto-fallback path (exercised by the board-free e2e test) pays.
+        assume_markerless=True,
     )
     process(frames, path=str(CACHE / "bench_mf"), config=config)  # compile
     # Capture the final BA's observation set: gt_config_rmse_px below scores

@@ -315,6 +315,14 @@ class PipelineConfig:
     # frame (the pre-round-3 behavior). Ignored when markerless_fallback is
     # off — a board-required run still scans everything before raising.
     board_probe_frames: int = 45
+    # Declare the video board-free up front: pass 1 starts directly in the
+    # marker-free mode instead of hunting for a board, selecting keyframes
+    # with the board gate, coming up empty, and re-scanning marker-free.
+    # For footage the caller KNOWS has no calibration board (the deployment
+    # case where EXIF focal is passed via markerless_focal) this removes
+    # the probe + the duplicate pass-1 scan from the critical path.
+    # Ignored when explicit board corners are supplied to ``process``.
+    assume_markerless: bool = False
     # Incremental (online) bundle adjustment: re-solve the BA after every
     # keyframe prefix instead of once globally — the reference's *intended*
     # design, left commented out at processor.py:395-408 (SURVEY.md §2.2).

@@ -1407,6 +1407,17 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         kf_indices = list(data["indices"]) if "indices" in data else []
         metrics.count("frames_total", frame_idx)
         metrics.count("keyframes", n_kf)
+    elif config.assume_markerless and known_corners is None:
+        # Caller-declared board-free video: go straight to the marker-free
+        # scan — no board hunt, no board-gated first pass to come up empty.
+        markerless = True
+        prefetch = _Pass2Prefetch(config)
+        kf_frames, kf_corners, _, _, kf_indices, frame_idx, scale, p2s = (
+            run_pass1(markerfree=True, known=None, prefetch=prefetch)
+        )
+        prefetch_indices = list(kf_indices)
+        n_kf = len(kf_frames)
+        metrics.count("keyframes", n_kf)
     else:
         prefetch = _Pass2Prefetch(config)
         (kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices,

