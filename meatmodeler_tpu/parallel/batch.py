@@ -139,18 +139,25 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
         metrics.count("ba_iterations", int(np.asarray(result.iterations[i])))
         metrics.count("points", len(pts))
 
-        vol_hull, vol_carve, n_item = _estimate_volume(
-            jnp.asarray(pts),
-            pre.intrinsics,
-            jnp.asarray(ext4),
-            pre.n_kf,
-            pre.image_size,
-            config,
-            point_sigma=pre.point_sigma,
-            point_parallax=pre.point_parallax,
-            use_plane=not pre.markerless,
-            kf_scale=pre.kf_scale,
+        fused = np.asarray(
+            _estimate_volume(
+                jnp.asarray(pts),
+                pre.intrinsics,
+                jnp.asarray(ext4),
+                pre.n_kf,
+                pre.image_size,
+                config,
+                point_sigma=pre.point_sigma,
+                point_parallax=pre.point_parallax,
+                use_plane=not pre.markerless,
+                kf_scale=pre.kf_scale,
+            )
         )
+        n_item = int(fused[2])
+        if n_item >= 8:
+            vol_hull, vol_carve = float(fused[0]), float(fused[1])
+        else:
+            vol_hull = vol_carve = float("nan")
         metrics.count("item_points", n_item)
 
         ply_path = None

@@ -606,8 +606,17 @@ def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
     n = len(smalls_dev)
     padded = list(smalls_dev) + [smalls_dev[-1]] * ((-n) % mb)
     dets = [run(jnp.stack(padded[i : i + mb])) for i in range(0, len(padded), mb)]
-    ok = np.concatenate([np.asarray(d.ok) for d in dets])[:n]
-    corners = np.concatenate([np.asarray(d.corners) for d in dets])[:n]
+    # ONE readback for all minibatches: ok flags and corners ride one fused
+    # array (separate per-batch fetches each pay the tunneled link's
+    # ~80-130 ms round trip — 6 fetches dominated this stage's wall clock).
+    n_pts = int(dets[0].corners.shape[1])
+    cor_flat = jnp.concatenate(
+        [d.corners.reshape(d.corners.shape[0], -1) for d in dets]
+    )
+    ok_col = jnp.concatenate([d.ok for d in dets]).astype(cor_flat.dtype)[:, None]
+    fused = np.asarray(jnp.concatenate([ok_col, cor_flat], axis=1))[:n]
+    ok = fused[:, 0] > 0.5
+    corners = fused[:, 1:].reshape(n, n_pts, 2)
     for i in range(n):
         if not ok[i]:
             out.append(None)
@@ -1573,9 +1582,13 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             orb_batch.mask[:-1],
             orb_batch.mask[1:],
         )
-        metrics.count(
+        # Deferred readback: a metrics-only value never earns a mid-pipeline
+        # device sync (~80-130 ms each over a tunneled link); it materializes
+        # with the batched flush in Metrics.as_dict().
+        metrics.count_async(
             "matches_per_pair",
-            [int(x) for x in np.asarray(jnp.sum(pair_matches.mask, axis=1))],
+            jnp.sum(pair_matches.mask, axis=1),
+            convert=lambda v: [int(x) for x in v],
         )
 
     with metrics.stage("pass2_tracks"):
@@ -1589,7 +1602,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             orb_batch.octave,
         )
         store = tracks_mod.finalize_tracks(store)
-        metrics.count("tracks", int(np.asarray(store.used).sum()))
+        metrics.count_async("tracks", jnp.sum(store.used), convert=int)
 
     # ---- GEOMETRY ----
     h, w = kf_stack.shape[1:]
@@ -1640,7 +1653,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
                 fix_principal_point=config.chessboard.calib_fix_principal_point,
                 single_focal=config.chessboard.calib_single_focal,
             )
-            metrics.count("calibration_rms_px", float(calib.rms))
+            metrics.count_async("calibration_rms_px", calib.rms, convert=float)
             numerics.check_finite("calibration", intrinsics=calib.intrinsics, dist=calib.dist)
             intr, dist_coefs = calib.intrinsics, calib.dist
 
@@ -1671,7 +1684,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
                 side_length=side,
                 config=pose_cfg,
             )
-            metrics.count("pose_ba_rmse_px", float(pose_ba_res.rmse))
+            metrics.count_async("pose_ba_rmse_px", pose_ba_res.rmse, convert=float)
             numerics.check_finite("pose_ba", extrinsics=ext_refined)
             projections = projection.projection_from_extrinsic(intr, ext_refined)
 
@@ -1682,11 +1695,14 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             config.tracks.min_parallax_deg,
             reproj_gate=config.tracks.max_reproj_px / p2s,
         )(store, ext_refined, intr, dist_coefs, projections)
-        metrics.count("triangulated", int(np.asarray(tri_valid).sum()))
-        metrics.count("outlier_tracks_dropped", int(n_outlier))
+        metrics.count_async("triangulated", jnp.sum(tri_valid), convert=int)
+        metrics.count_async("outlier_tracks_dropped", n_outlier, convert=int)
 
+    # Batched fetch (one link round trip) of the per-track device outputs the
+    # host-side BA-problem assembly needs alongside to_ba_arrays' store fetch.
+    tri_valid_full, track_parallax_np = jax.device_get((tri_valid, track_parallax))
     points, obs, fidx, pidx, track_ids, obs_octave = tracks_mod.to_ba_arrays(store)
-    tri_valid_np = np.asarray(tri_valid)[track_ids]
+    tri_valid_np = tri_valid_full[track_ids]
     obs_keep = tri_valid_np[pidx]
     obs_sigma = np.float32(config.orb.scale_factor) ** obs_octave.astype(np.float32)
     obs_weight = (1.0 / obs_sigma)[obs_keep].astype(np.float32)
@@ -1697,9 +1713,7 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
     sum_per = np.bincount(pidx, weights=obs_sigma, minlength=len(tri_valid_np))
     sigma_mean = np.where(n_per > 0, sum_per / np.maximum(n_per, 1), np.inf)
     point_sigma = sigma_mean[tri_valid_np].astype(np.float32)
-    point_parallax = np.asarray(track_parallax)[track_ids][tri_valid_np].astype(
-        np.float32
-    )
+    point_parallax = track_parallax_np[track_ids][tri_valid_np].astype(np.float32)
     # Reindex after filtering.
     remap = -np.ones(len(tri_valid_np), np.int32)
     remap[np.nonzero(tri_valid_np)[0]] = np.arange(tri_valid_np.sum(), dtype=np.int32)
@@ -1843,10 +1857,10 @@ def _solve_and_finish(
                 weights=pre.obs_weight,
                 config=config.solver,
             )
-        metrics.count("ba_rmse_px", float(ba_res.rmse))
-        metrics.count("ba_iterations", int(ba_res.iterations))
+        metrics.count_async("ba_rmse_px", ba_res.rmse, convert=float)
+        metrics.count_async("ba_iterations", ba_res.iterations, convert=int)
         numerics.check_finite("bundle_adjustment", points=new_pts, extrinsics=new_ext)
-        metrics.count("points", int(len(np.asarray(new_pts))))
+        metrics.count("points", int(new_pts.shape[0]))  # shape only — no sync
         if ckpt.enabled:
             ckpt.save(
                 "cloud",
@@ -1858,40 +1872,65 @@ def _solve_and_finish(
             )
 
     with metrics.stage("volume"):
-        vol_hull, vol_carve, n_item = _estimate_volume(
+        # Dispatch only — the (4,) fused result is fetched once below, after
+        # the PLY write has overlapped the volume program's device time.
+        vol_fused_j = _estimate_volume(
             jnp.asarray(new_pts), pre.intrinsics, jnp.asarray(new_ext), n_kf, (w, h), config,
             point_sigma=pre.point_sigma,
             point_parallax=pre.point_parallax,
             use_plane=not pre.markerless,
             kf_scale=pre.kf_scale,
+            rmse=ba_res.rmse,
         )
-        metrics.count("item_points", n_item)
-        metrics.count("volume_hull", vol_hull)
-        metrics.count("volume_carved", vol_carve)
 
     ply_path = None
+    # ONE batched fetch of every result buffer (device_get issues all copies
+    # before blocking): points, extrinsics, intrinsics, distortion. These are
+    # ready as soon as BA finishes, so the transfer overlaps the still-queued
+    # volume program's device time.
+    new_pts_np, new_ext_np, intr_np, dist_np = jax.device_get(
+        (new_pts, new_ext, pre.intrinsics, pre.dist)
+    )
     if path is not None:
         with metrics.stage("ply_export"):
-            ply_path = ply_mod.write_ply(str(path) + "Cloud.ply", np.asarray(new_pts))
+            ply_path = ply_mod.write_ply(str(path) + "Cloud.ply", new_pts_np)
+
+    # ONE fused readback for everything still on device: hull volume, carve
+    # volume, item count, solver RMSE (each separate fetch costs a full
+    # ~80-130 ms round trip on a tunneled link).
+    fused = np.asarray(vol_fused_j)
+    n_item = int(fused[2])
+    if n_item >= 8:
+        vol_hull, vol_carve = float(fused[0]), float(fused[1])
+    else:
+        vol_hull = vol_carve = float("nan")
+    metrics.count("item_points", n_item)
+    metrics.count("volume_hull", vol_hull)
+    metrics.count("volume_carved", vol_carve)
 
     return ProcessResult(
-        points=np.asarray(new_pts),
-        extrinsics=np.asarray(new_ext),
-        intrinsics=np.asarray(pre.intrinsics),
-        distortion=np.asarray(pre.dist),
+        points=new_pts_np,
+        extrinsics=new_ext_np,
+        intrinsics=intr_np,
+        distortion=dist_np,
         volume=vol_hull,
         volume_carved=vol_carve,
         ply_path=ply_path,
-        reprojection_rmse=float(ba_res.rmse),
+        reprojection_rmse=float(fused[3]),
         metrics=metrics.as_dict(),
     )
 
 
 def _estimate_volume(
     pts_j, intrinsics, ext4, n_kf, image_size, config, point_sigma=None,
-    point_parallax=None, use_plane=True, kf_scale=1,
+    point_parallax=None, use_plane=True, kf_scale=1, rmse=None,
 ):
-    """Hull + carved volume of the item points; NaNs when too few points.
+    """Hull + carved volume of the item points — DISPATCH ONLY.
+
+    Returns a (4,) device array [hull, carve, n_item, rmse] (``rmse`` is an
+    unrelated scalar hitching a ride on the caller's single fused readback;
+    0 when not supplied). The caller applies the too-few-points NaN rule
+    after fetching.
 
     ``point_sigma``: per-point positional uncertainty (octave sigma). The
     hull/carve estimators are set entirely by extreme points, so
@@ -1952,18 +1991,12 @@ def _estimate_volume(
         vote_frac=config.volume.carve_vote_frac,
         support_mask=support_mask,
     )
-    fused = np.asarray(
-        jnp.stack(
-            [
-                vol_hull_j.astype(jnp.float32),
-                vol_carve_j.astype(jnp.float32),
-                jnp.sum(item_mask).astype(jnp.float32),
-            ]
-        )
+    return jnp.stack(
+        [
+            vol_hull_j.astype(jnp.float32),
+            vol_carve_j.astype(jnp.float32),
+            jnp.sum(item_mask).astype(jnp.float32),
+            (jnp.zeros((), jnp.float32) if rmse is None
+             else jnp.asarray(rmse).astype(jnp.float32)),
+        ]
     )
-    n_item = int(fused[2])
-    if n_item >= 8:
-        vol_hull, vol_carve = float(fused[0]), float(fused[1])
-    else:
-        vol_hull = vol_carve = float("nan")
-    return vol_hull, vol_carve, n_item

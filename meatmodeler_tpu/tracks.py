@@ -222,11 +222,12 @@ def to_ba_arrays(store: TrackStore):
     track_ids (P,), obs_octave (N,)) over tracks with >= 2 observations, in
     track-major order like the reference.
     """
-    coords = np.asarray(store.coords)
-    obs_mask = np.asarray(store.obs_mask)
-    used = np.asarray(store.used)
-    pts = np.asarray(store.points)
-    octaves = np.asarray(store.octaves)
+    # One batched fetch: device_get issues async copies for every leaf
+    # before blocking, so the five arrays cost one link round trip, not five
+    # (each sync is ~80-130 ms on a tunneled host<->device link).
+    coords, obs_mask, used, pts, octaves = jax.device_get(
+        (store.coords, store.obs_mask, store.used, store.points, store.octaves)
+    )
 
     n_obs = obs_mask.sum(1)
     keep = used & (n_obs >= 2)

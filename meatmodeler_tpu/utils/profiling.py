@@ -44,6 +44,7 @@ class Metrics:
     def __init__(self) -> None:
         self.timings: Dict[str, float] = {}
         self.counters: Dict[str, Any] = {}
+        self._pending: Dict[str, Any] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -64,7 +65,38 @@ class Metrics:
         """Accumulating counter (``count`` overwrites)."""
         self.counters[name] = self.counters.get(name, 0) + value
 
+    def count_async(self, name: str, value, convert=None) -> None:
+        """Defer a device-resident counter — no readback here.
+
+        Each device->host sync costs ~80-130 ms over a tunneled link, and a
+        metrics-only scalar never justifies one mid-pipeline. The device
+        value is held and materialized in ONE batch at ``flush()`` /
+        ``as_dict()`` (after the pipeline's last required sync). ``convert``
+        maps the fetched ndarray to its recorded form (default: ``.item()``
+        for scalars, ``.tolist()`` otherwise).
+        """
+        self._pending[name] = (value, convert)
+
+    def flush(self) -> None:
+        """Materialize all deferred counters (one batched readback)."""
+        if not self._pending:
+            return
+        import numpy as np
+
+        pending, self._pending = self._pending, {}
+        for name, (value, convert) in pending.items():
+            v = np.asarray(value)
+            if convert is not None:
+                out = convert(v)
+            elif v.ndim == 0:
+                out = v.item()
+            else:
+                out = v.tolist()
+            self.counters[name] = out
+            logger.info("%s = %s", name, out)
+
     def as_dict(self) -> Dict[str, Any]:
+        self.flush()
         return {"timings": dict(self.timings), "counters": dict(self.counters)}
 
 

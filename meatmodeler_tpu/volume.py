@@ -218,16 +218,29 @@ def _carve_occupancy(
             jnp.where(ok, gy, gh), jnp.where(ok, gx, gw)
         ].set(1.0, mode="drop")
 
+        # Both morphology ops run SEPARABLY (rows then columns): max/min over
+        # a (2r+1)^2 rectangle with a constant out-of-bounds extension equals
+        # the composition of the two 1-D passes with the same extension, and
+        # the tap count drops from (2r+1)^2 to 2*(2r+1) — at the closing
+        # radius (~13 grid cells) that is ~13x less VPU work per silhouette.
         def maxpool(g, r):
+            g = jax.lax.reduce_window(
+                g, jnp.float32(0.0), jax.lax.max, (1, 2 * r + 1), (1, 1), "SAME"
+            )
             return jax.lax.reduce_window(
-                g, jnp.float32(0.0), jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+                g, jnp.float32(0.0), jax.lax.max, (2 * r + 1, 1), (1, 1), "SAME"
             )
 
         def erode(g, r):
             # init -1 (not 0): reduce_window's init joins every window, and
-            # a 0 init would make max(-g) trivially 0 everywhere.
+            # a 0 init would make max(-g) trivially 0 everywhere. (OOB is
+            # therefore treated as "set", so erosion never shrinks at the
+            # image border — the same contract in both 1-D passes.)
+            g = -jax.lax.reduce_window(
+                -g, jnp.float32(-1.0), jax.lax.max, (1, 2 * r + 1), (1, 1), "SAME"
+            )
             return -jax.lax.reduce_window(
-                -g, jnp.float32(-1.0), jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+                -g, jnp.float32(-1.0), jax.lax.max, (2 * r + 1, 1), (1, 1), "SAME"
             )
 
         closed = erode(maxpool(grid, close_rad), close_rad)

@@ -87,7 +87,23 @@ void clahe_u8(const uint8_t* in, float* out, long h, long w, float clip_limit,
   }
 
   // Bilinear blend of the 4 surrounding tile LUTs (clamped at borders) —
-  // per-pixel form of the banded matmul in clahe.py (same weights).
+  // per-pixel form of the banded matmul in clahe.py (same weights). The
+  // column tile index/weight depends only on x (and row only on y), so both
+  // are precomputed once per image: the per-pixel body is then 4 LUT
+  // gathers + 3 lerps, with no divides or floors (those dominated the
+  // original per-pixel form on the scalar pass-1 host path).
+  std::vector<long> j0s(w), j1s(w);
+  std::vector<float> wxs(w);
+  for (long x = 0; x < w; ++x) {
+    const double fx = (double)x / tw - 0.5;
+    long j0 = (long)std::floor(fx);
+    double wx = fx - j0;
+    if (j0 < 0) { j0 = 0; wx = 0.0; }
+    if (j0 > tx - 1) { j0 = tx - 1; wx = 0.0; }
+    j0s[x] = j0;
+    j1s[x] = std::min(j0 + 1, (long)tx - 1);
+    wxs[x] = (float)wx;
+  }
   for (long y = 0; y < h; ++y) {
     const double fy = (double)y / th - 0.5;
     long i0 = (long)std::floor(fy);
@@ -95,23 +111,18 @@ void clahe_u8(const uint8_t* in, float* out, long h, long w, float clip_limit,
     if (i0 < 0) { i0 = 0; wy = 0.0; }
     if (i0 > ty - 1) { i0 = ty - 1; wy = 0.0; }
     const long i1 = std::min(i0 + 1, (long)ty - 1);
-    if (i1 == i0) wy = 0.0;
+    const float fwy = (float)(i1 == i0 ? 0.0 : wy);
+    const float* lrow0 = &lut[(size_t)i0 * tx * 256];
+    const float* lrow1 = &lut[(size_t)i1 * tx * 256];
     const uint8_t* row = in + y * w;
     float* orow = out + y * w;
     for (long x = 0; x < w; ++x) {
-      const double fx = (double)x / tw - 0.5;
-      long j0 = (long)std::floor(fx);
-      double wx = fx - j0;
-      if (j0 < 0) { j0 = 0; wx = 0.0; }
-      if (j0 > tx - 1) { j0 = tx - 1; wx = 0.0; }
-      const long j1 = std::min(j0 + 1, (long)tx - 1);
       const int v = row[x];
-      const float l00 = lut[((size_t)i0 * tx + j0) * 256 + v];
-      const float l01 = lut[((size_t)i0 * tx + j1) * 256 + v];
-      const float l10 = lut[((size_t)i1 * tx + j0) * 256 + v];
-      const float l11 = lut[((size_t)i1 * tx + j1) * 256 + v];
-      orow[x] = (float)((1.0 - wy) * ((1.0 - wx) * l00 + wx * l01) +
-                        wy * ((1.0 - wx) * l10 + wx * l11));
+      const float wx = wxs[x];
+      const long j0 = j0s[x] * 256, j1 = j1s[x] * 256;
+      const float top = lrow0[j0 + v] + wx * (lrow0[j1 + v] - lrow0[j0 + v]);
+      const float bot = lrow1[j0 + v] + wx * (lrow1[j1 + v] - lrow1[j0 + v]);
+      orow[x] = top + fwy * (bot - top);
     }
   }
 }
@@ -192,11 +203,13 @@ inline float sample(const float* img, long h, long w, double x, double y) {
                  fy * ((1 - fx) * r1[x0] + fx * r1[x1]));
 }
 
-// Fill a win x win patch centered at (cx, cy). Interior windows (the common
-// case by far) take a branch-free path: one set of bilinear weights, four
-// fused row reads — ~4x the throughput of per-sample clamping.
+// Fill a win x win patch centered at (cx, cy), rows written at `stride`
+// floats apart (stride >= win; padding columns are left untouched).
+// Interior windows (the common case by far) take a branch-free path: one
+// set of bilinear weights, four fused row reads — ~4x the throughput of
+// per-sample clamping.
 void window(const float* img, long h, long w, double cx, double cy, int win,
-            float* out) {
+            float* out, int stride) {
   const double half = (win - 1) / 2.0;
   const double x0f = cx - half, y0f = cy - half;
   const long x0 = (long)std::floor(x0f), y0 = (long)std::floor(y0f);
@@ -207,7 +220,7 @@ void window(const float* img, long h, long w, double cx, double cy, int win,
     for (int r = 0; r < win; ++r) {
       const float* r0 = img + (size_t)(y0 + r) * w + x0;
       const float* r1 = r0 + w;
-      float* orow = out + (size_t)r * win;
+      float* orow = out + (size_t)r * stride;
       for (int c = 0; c < win; ++c)
         orow[c] = w00 * r0[c] + w01 * r0[c + 1] + w10 * r1[c] + w11 * r1[c + 1];
     }
@@ -215,7 +228,7 @@ void window(const float* img, long h, long w, double cx, double cy, int win,
   }
   for (int r = 0; r < win; ++r)
     for (int c = 0; c < win; ++c)
-      out[r * win + c] = sample(img, h, w, cx - half + c, cy - half + r);
+      out[r * stride + c] = sample(img, h, w, cx - half + c, cy - half + r);
 }
 
 // ------------------------------ pyramidal LK -------------------------------
@@ -226,12 +239,18 @@ bool lk_track(const Pyramid& prev, const Pyramid& curr, int levels, int win,
               int iters, double eps, const float pt[2], float out_pt[2],
               float* out_err, std::vector<float>& buf) {
   const int wp = win + 2;
-  buf.resize((size_t)wp * wp + 4 * (size_t)win * win);
+  // Window rows live at a multiple-of-8 stride with ZERO padding columns:
+  // every per-iteration reduction then runs over win*ws floats with no
+  // scalar tail (the padding contributes exactly 0 — ix/iy/tmpl are zero
+  // there), which the compiler turns into clean 8-wide FMA loops.
+  const int ws = (win + 7) & ~7;
+  const size_t area = (size_t)win * ws;
+  buf.assign((size_t)wp * wp + 4 * area, 0.0f);
   float* patch = buf.data();
   float* ix = patch + wp * wp;
-  float* iy = ix + win * win;
-  float* tmpl = iy + win * win;
-  float* cur = tmpl + win * win;
+  float* iy = ix + area;
+  float* tmpl = iy + area;
+  float* cur = tmpl + area;
 
   double d[2] = {0.0, 0.0};
   bool ok_all = true;
@@ -242,7 +261,7 @@ bool lk_track(const Pyramid& prev, const Pyramid& curr, int levels, int win,
     const float* cimg = curr.levels[lvl].data();
     const long lh = prev.hs[lvl], lw = prev.ws[lvl];
 
-    window(pimg, lh, lw, px, py, wp, patch);
+    window(pimg, lh, lw, px, py, wp, patch, wp);
     double gxx = 0, gxy = 0, gyy = 0;
     for (int r = 0; r < win; ++r)
       for (int c = 0; c < win; ++c) {
@@ -250,9 +269,9 @@ bool lk_track(const Pyramid& prev, const Pyramid& curr, int levels, int win,
                                  patch[(r + 1) * wp + c]);
         const float dy = 0.5f * (patch[(r + 2) * wp + c + 1] -
                                  patch[r * wp + c + 1]);
-        ix[r * win + c] = dx;
-        iy[r * win + c] = dy;
-        tmpl[r * win + c] = patch[(r + 1) * wp + c + 1];
+        ix[r * ws + c] = dx;
+        iy[r * ws + c] = dy;
+        tmpl[r * ws + c] = patch[(r + 1) * wp + c + 1];
         gxx += (double)dx * dx;
         gxy += (double)dx * dy;
         gyy += (double)dy * dy;
@@ -265,13 +284,17 @@ bool lk_track(const Pyramid& prev, const Pyramid& curr, int levels, int win,
 
     bool frozen = false;
     for (int it = 0; it < iters && !frozen; ++it) {
-      double bx = 0, by = 0;
-      window(cimg, lh, lw, px + d[0], py + d[1], win, cur);
-      for (int i = 0; i < win * win; ++i) {
-        const double diff = tmpl[i] - cur[i];
-        bx += diff * ix[i];
-        by += diff * iy[i];
+      float bxf = 0, byf = 0;
+      window(cimg, lh, lw, px + d[0], py + d[1], win, cur, ws);
+      // Full padded range, no tail: padding has ix = iy = 0. Float
+      // accumulation here is safe — |diff| <= 255 and win*win <= ~1k, well
+      // inside float range; the solve stays in double.
+      for (int i = 0; i < win * ws; ++i) {
+        const float diff = tmpl[i] - cur[i];
+        bxf += diff * ix[i];
+        byf += diff * iy[i];
       }
+      const double bx = bxf, by = byf;
       const double dx = i00 * bx + i01 * by;
       const double dy = i01 * bx + i11 * by;
       if (dx * dx + dy * dy < eps * eps || !ok)
@@ -293,12 +316,14 @@ bool lk_track(const Pyramid& prev, const Pyramid& curr, int levels, int win,
   const bool in_bounds = out_pt[0] >= 0 && out_pt[0] < w0 && out_pt[1] >= 0 &&
                          out_pt[1] < h0;
   // Final window error at full resolution (klt.py: mean |tmpl - curr|).
-  window(prev.levels[0].data(), h0, w0, pt[0], pt[1], win, tmpl);
-  window(curr.levels[0].data(), h0, w0, out_pt[0], out_pt[1], win, cur);
-  double err = 0.0;
-  for (int i = 0; i < win * win; ++i)
-    err += std::fabs((double)tmpl[i] - cur[i]);
-  *out_err = (float)(err / (win * win));
+  // Padded columns contribute |0 - 0| = 0; the mean divides by the true
+  // window area.
+  window(prev.levels[0].data(), h0, w0, pt[0], pt[1], win, tmpl, ws);
+  window(curr.levels[0].data(), h0, w0, out_pt[0], out_pt[1], win, cur, ws);
+  float err = 0.0f;
+  for (int i = 0; i < win * ws; ++i)
+    err += std::fabs(tmpl[i] - cur[i]);
+  *out_err = err / (win * win);
   return ok_all && in_bounds;
 }
 

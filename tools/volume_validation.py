@@ -92,7 +92,7 @@ def capture_scene(name, scene, n_frames, config):
     cap = {}
 
     def hook(pts_j, intrinsics, ext4, n_kf, image_size, cfg, point_sigma=None,
-             point_parallax=None, use_plane=True, kf_scale=1):
+             point_parallax=None, use_plane=True, kf_scale=1, **kw):
         cap.update(
             pts=np.asarray(pts_j), intr=np.asarray(intrinsics),
             ext4=np.asarray(ext4), n_kf=n_kf,
@@ -100,7 +100,7 @@ def capture_scene(name, scene, n_frames, config):
             parallax=np.asarray(point_parallax), kf_scale=kf_scale,
         )
         return orig(pts_j, intrinsics, ext4, n_kf, image_size, cfg,
-                    point_sigma, point_parallax, use_plane, kf_scale)
+                    point_sigma, point_parallax, use_plane, kf_scale, **kw)
 
     pipeline._estimate_volume = hook
     try:
