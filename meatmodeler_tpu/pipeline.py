@@ -1942,11 +1942,39 @@ def _estimate_volume(
     marginal tracks whose inclusion flips run-to-run).
     ``use_plane=False``: marker-free world frame, no board plane to gate on
     (the volume is then in the arbitrary monocular gauge's units^3).
+
+    Shape-bucketed: points pad to 1024-multiples (masked out) and keyframes
+    to 8-multiples (``proj_mask`` False), so the ~15 s volume compile is
+    reused across videos of the same size class instead of re-paid for every
+    distinct (P, F) — the same discipline as the BA solver's
+    ``_pad_problem`` (solvers/bundle_adjust.py).
     """
     w, h = image_size
-    pmask = jnp.ones(pts_j.shape[0], bool)
+    p_real = int(pts_j.shape[0])
+    pb = max(-(-p_real // 1024) * 1024, 1024)
+    f_real = int(n_kf)
+    fb = -(-f_real // 8) * 8
+    if pb != p_real:
+        pts_j = jnp.pad(jnp.asarray(pts_j), ((0, pb - p_real), (0, 0)))
+        if point_sigma is not None:
+            point_sigma = np.pad(
+                np.asarray(point_sigma, np.float32), (0, pb - p_real),
+                constant_values=np.inf,  # fails the sigma gate
+            )
+        if point_parallax is not None:
+            point_parallax = np.pad(
+                np.asarray(point_parallax, np.float32), (0, pb - p_real)
+            )  # 0 parallax fails the parallax gate
+    if fb != f_real:
+        ext4 = jnp.pad(jnp.asarray(ext4), ((0, fb - f_real), (0, 0), (0, 0)))
+    valid = jnp.arange(pb) < p_real
+    proj_mask = jnp.arange(fb) < f_real
+
+    pmask = valid
     if point_sigma is not None and config.volume.max_point_sigma > 0:
-        precise = jnp.asarray(point_sigma) <= config.volume.max_point_sigma
+        precise = valid & (
+            jnp.asarray(point_sigma) <= config.volume.max_point_sigma
+        )
         # Fall back to all points if the precise subset is too thin.
         pmask = jnp.where(jnp.sum(precise) >= 32, precise, pmask)
     if point_parallax is not None and config.volume.min_parallax_deg > 0:
@@ -1961,9 +1989,7 @@ def _estimate_volume(
     # The estimator's own robustness against the mis-triangulated tail is
     # the silhouette-membership pruning + order-statistic trim inside
     # hull_and_carved_volume; the gates still serve the carve silhouettes.
-    support_mask = volume_mod.split_item_points(
-        pts_j, jnp.ones(pts_j.shape[0], bool), use_plane=use_plane
-    )
+    support_mask = volume_mod.split_item_points(pts_j, valid, use_plane=use_plane)
     proj_new = projection.projection_from_extrinsic(intrinsics, ext4[:, :3, :])
     # One carve serves both estimators: the hull is (robust symmetric
     # completion of the seen surface) ∩ (visual hull) — see
@@ -1976,7 +2002,7 @@ def _estimate_volume(
         pts_j,
         item_mask,
         proj_new,
-        jnp.ones(n_kf, bool),
+        proj_mask,
         image_size=(w, h),
         resolution=config.volume.voxel_resolution,
         num_directions=config.volume.hull_directions,
