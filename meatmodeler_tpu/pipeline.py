@@ -328,6 +328,62 @@ def _make_orb_minibatch(orb_cfg):
     return lambda stack: orb_minibatch(stack, orb.brief_bin_weights())
 
 
+def _run_minibatched(run, mb, *arrays):
+    """Run a fixed-leading-axis jitted program over chunks of ``mb`` rows.
+
+    Pads the tail by repeating the last row (results trimmed), so ``run``
+    compiles once for the (mb, ...) shape regardless of the video's keyframe
+    count — per-n_kf shapes otherwise recompile each pass-2 stage for every
+    distinct keyframe count (seconds each on the remote backend), and make
+    the programs impossible to warm before pass 1 finishes. Rows must be
+    independent under ``run`` (these stages are per-frame / per-pair maps),
+    so padding cannot change real rows' results.
+    """
+    n = arrays[0].shape[0]
+    pads = (-n) % mb
+    if pads:
+        arrays = [jnp.concatenate([a, jnp.repeat(a[-1:], pads, 0)]) for a in arrays]
+    parts = [run(*(a[i : i + mb] for a in arrays)) for i in range(0, n + pads, mb)]
+    if len(parts) == 1:
+        return jax.tree.map(lambda x: x[:n], parts[0])
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n], *parts)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_match_minibatch(matcher_cfg):
+    """One jitted matcher program over (_ORB_MINIBATCH,) descriptor pairs."""
+
+    @jax.jit
+    def match_minibatch(q, t, qm, tm):
+        return jax.vmap(
+            lambda a, b, am, bm: matching.match_descriptors(
+                a,
+                b,
+                am,
+                bm,
+                ratio=matcher_cfg.ratio,
+                max_distance=matcher_cfg.max_distance,
+                max_matches=matcher_cfg.max_matches,
+                cross_check=matcher_cfg.cross_check,
+            )
+        )(q, t, qm, tm)
+
+    return match_minibatch
+
+
+@functools.lru_cache(maxsize=8)
+def _make_subpix_minibatch(win: int, iters: int):
+    """One jitted sub-pixel corner-refine program over (_ORB_MINIBATCH,)."""
+
+    @jax.jit
+    def subpix_minibatch(greys, corners):
+        return jax.vmap(
+            lambda g, c: chessboard.refine_corners_subpix(g, c, win=win, iters=iters)
+        )(greys, corners)
+
+    return subpix_minibatch
+
+
 @functools.lru_cache(maxsize=8)
 def _make_pose_stage(side_length: float):
     """One jitted program for the pose-estimation stage glue.
@@ -1565,18 +1621,9 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             orb_batch = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_kf], *parts)
 
     with metrics.stage("pass2_matching"):
-        pair_matches = jax.vmap(
-            lambda q, t, qm, tm: matching.match_descriptors(
-                q,
-                t,
-                qm,
-                tm,
-                ratio=config.matcher.ratio,
-                max_distance=config.matcher.max_distance,
-                max_matches=config.matcher.max_matches,
-                cross_check=config.matcher.cross_check,
-            )
-        )(
+        pair_matches = _run_minibatched(
+            _make_match_minibatch(config.matcher),
+            _ORB_MINIBATCH,
             orb_batch.descriptors[:-1],
             orb_batch.descriptors[1:],
             orb_batch.mask[:-1],
@@ -1592,15 +1639,26 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         )
 
     with metrics.stage("pass2_tracks"):
-        store = tracks_mod.make_store(config.tracks.max_tracks, max(n_kf, 2))
-        store = tracks_mod.update_tracks_scan(
-            store,
-            pair_matches.query_idx,
-            pair_matches.train_idx,
-            pair_matches.mask,
-            orb_batch.xy,
-            orb_batch.octave,
-        )
+        # The store's keyframe axis is bucketed to 8-multiples so the tracks
+        # scan and the triangulation gate compile once per size class, not
+        # once per keyframe count (seconds per distinct n_kf on the remote
+        # backend). Padded pair rows carry mask=False — a scan step with no
+        # matches writes nothing (it only pops `alive`, which finalization
+        # clears anyway) — and padded frame columns never receive
+        # observations, so every downstream obs_mask-gated reduction is
+        # unchanged.
+        fb = -(-max(n_kf, 2) // 8) * 8
+        store = tracks_mod.make_store(config.tracks.max_tracks, fb)
+        qi, ti, mm = pair_matches.query_idx, pair_matches.train_idx, pair_matches.mask
+        xy_all, oct_all = orb_batch.xy, orb_batch.octave
+        pad_pairs = fb - 1 - qi.shape[0]
+        if pad_pairs:
+            zrow = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad_pairs,) + a.shape[1:], a.dtype)]
+            )
+            qi, ti, mm = zrow(qi), zrow(ti), zrow(mm)
+            xy_all, oct_all = zrow(xy_all), zrow(oct_all)
+        store = tracks_mod.update_tracks_scan(store, qi, ti, mm, xy_all, oct_all)
         store = tracks_mod.finalize_tracks(store)
         metrics.count_async("tracks", jnp.sum(store.used), convert=int)
 
@@ -1631,17 +1689,19 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             )
             metrics.count("pose_chain_inliers", chain_inliers)
             numerics.check_finite("pose_chain", extrinsics=ext_refined)
-            projections = projection.projection_from_extrinsic(intr, ext_refined)
     else:
         with metrics.stage("corner_refine"):
             # Board corners were detected in FULL-resolution pixels; pass-2
             # geometry runs in the keyframes' (1/p2s) pixel units.
             corners = jnp.asarray(np.stack(kf_corners)) / p2s  # (F, N, 2)
-            corners = jax.vmap(
-                lambda g, c: chessboard.refine_corners_subpix(
-                    g, c, win=config.chessboard.subpix_window, iters=config.chessboard.subpix_iters
-                )
-            )(kf_stack, corners)
+            corners = _run_minibatched(
+                _make_subpix_minibatch(
+                    config.chessboard.subpix_window, config.chessboard.subpix_iters
+                ),
+                _ORB_MINIBATCH,
+                kf_stack,
+                corners,
+            )
 
         with metrics.stage("calibration"):
             obj_z0 = calibration.chessboard_object_points(pattern, corners.dtype)
@@ -1659,8 +1719,11 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
 
         with metrics.stage("pose_estimation"):
             side = config.chessboard.side_length
-            und_corners, poses = _make_pose_stage(side)(
-                corners, intr, dist_coefs, obj_z0
+            pose_stage = _make_pose_stage(side)
+            und_corners, poses = _run_minibatched(
+                lambda c: pose_stage(c, intr, dist_coefs, obj_z0),
+                _ORB_MINIBATCH,
+                corners,
             )
 
         with metrics.stage("pose_ba"):
@@ -1686,15 +1749,26 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             )
             metrics.count_async("pose_ba_rmse_px", pose_ba_res.rmse, convert=float)
             numerics.check_finite("pose_ba", extrinsics=ext_refined)
-            projections = projection.projection_from_extrinsic(intr, ext_refined)
 
     with metrics.stage("triangulation"):
+        # The gate runs at the store's bucketed keyframe capacity: pad the
+        # pose set with identity extrinsics (valid SO(3), so no NaNs leak
+        # into the masked reductions); padded frames have no observations.
+        fb = store.coords.shape[1]
+        if fb != n_kf:
+            ident = jnp.broadcast_to(
+                jnp.eye(3, 4, dtype=ext_refined.dtype), (fb - n_kf, 3, 4)
+            )
+            ext_gate = jnp.concatenate([jnp.asarray(ext_refined), ident])
+        else:
+            ext_gate = ext_refined
+        projections = projection.projection_from_extrinsic(intr, ext_gate)
         store, tri_valid, n_outlier, track_parallax = _make_triangulate_gate(
             config.tracks.triangulation,
             config.orb.scale_factor,
             config.tracks.min_parallax_deg,
             reproj_gate=config.tracks.max_reproj_px / p2s,
-        )(store, ext_refined, intr, dist_coefs, projections)
+        )(store, ext_gate, intr, dist_coefs, projections)
         metrics.count_async("triangulated", jnp.sum(tri_valid), convert=int)
         metrics.count_async("outlier_tracks_dropped", n_outlier, convert=int)
 
