@@ -81,14 +81,17 @@ class Metrics:
         """Materialize all deferred counters (one batched readback)."""
         if not self._pending:
             return
-        import numpy as np
+        import jax
 
         pending, self._pending = self._pending, {}
-        for name, (value, convert) in pending.items():
-            v = np.asarray(value)
+        # ONE device_get for the whole batch: per-value np.asarray would pay
+        # a full link round trip each (~10 deferred counters = ~0.7 s of
+        # pipeline tail on the tunneled backend).
+        values = jax.device_get([v for v, _ in pending.values()])
+        for (name, (_, convert)), v in zip(pending.items(), values):
             if convert is not None:
                 out = convert(v)
-            elif v.ndim == 0:
+            elif getattr(v, "ndim", 0) == 0:
                 out = v.item()
             else:
                 out = v.tolist()
