@@ -503,7 +503,7 @@ def _warm_event(key):
         return ev
 
 
-def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
+def _warm_pass2(config: PipelineConfig, grey_shape, small_shape=None, pattern=None) -> None:
     """Dispatch compilation of the big pass-2 programs on dummy data.
 
     Runs on a background thread DURING pass 1: the ORB minibatch program
@@ -511,6 +511,14 @@ def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
     its shape depends only on the image size and the ORB config — both known
     as soon as the first chunk arrives. Overlapping the compile with pass-1
     streaming removes it from the cold critical path.
+
+    After the ORB event releases the prefetcher, every OTHER fixed-shape
+    stage program (board detect, matching, sub-pixel refine, PnP pose, pose
+    BA) warms on its own daemon thread: their cold costs are dominated by
+    remote compile/load round trips, which overlap across threads, while
+    their dummy device executions are microscopic. Stages whose shapes
+    depend on data not known until pass 2 (calibration's keyframe count,
+    the BA/volume point buckets) are left to compile in place.
     """
     key = (config.orb, config.pass2_enhance, grey_shape)
     ev = _warm_event(key)
@@ -535,6 +543,103 @@ def _warm_pass2(config: PipelineConfig, grey_shape) -> None:
         logger.debug("pass-2 warmup failed", exc_info=True)
     finally:
         ev.set()
+    _warm_stage_programs(config, grey_shape, small_shape, pattern)
+
+
+def _warm_stage_programs(config, grey_shape, small_shape, pattern) -> None:
+    """Parallel warmup of the remaining fixed-shape stage programs."""
+    import threading
+
+    h, w = grey_shape
+    cb = config.chessboard
+
+    def safe(fn):
+        def run():
+            try:
+                fn()
+            except Exception:  # pragma: no cover — warmup must never break a run
+                logger.debug("stage warmup failed", exc_info=True)
+
+        return run
+
+    targets = []
+    if (
+        small_shape is not None
+        and pattern is not None
+        and cb.detector in ("auto", "device")
+        and pattern[0] * pattern[1] <= cb.detect_candidates
+    ):
+        def warm_board():
+            run = _make_board_detect_batch(
+                tuple(pattern), cb.detect_candidates, cb.detect_tol, cb.detect_exact_topk
+            )
+            jax.block_until_ready(
+                run(jnp.zeros((_DETECT_MINIBATCH,) + tuple(small_shape), jnp.uint8))
+            )
+
+        targets.append(warm_board)
+
+    def warm_match():
+        kf = config.orb.num_features
+        run = _make_match_minibatch(config.matcher)
+        d = jnp.zeros((_ORB_MINIBATCH, kf, 32), jnp.uint8)
+        m = jnp.zeros((_ORB_MINIBATCH, kf), bool)
+        jax.block_until_ready(run(d, d, m, m))
+
+    targets.append(warm_match)
+
+    if pattern is not None:
+        n_c = pattern[0] * pattern[1]
+
+        def warm_subpix():
+            run = _make_subpix_minibatch(cb.subpix_window, cb.subpix_iters)
+            jax.block_until_ready(
+                run(
+                    jnp.zeros((_ORB_MINIBATCH, h, w), jnp.float32),
+                    jnp.zeros((_ORB_MINIBATCH, n_c, 2), jnp.float32),
+                )
+            )
+
+        def warm_pose_and_ba():
+            # Plausible dummy geometry (centered board, sane focal) so the
+            # LM warms in a couple of iterations instead of walking the full
+            # damping schedule on garbage.
+            obj_z0 = calibration.chessboard_object_points(pattern, jnp.float32)
+            intr = jnp.asarray(
+                [[500.0, 0.0, w / 2.0], [0.0, 500.0, h / 2.0], [0.0, 0.0, 1.0]],
+                jnp.float32,
+            )
+            corners = (
+                jnp.tile(obj_z0[None] * 40.0, (_ORB_MINIBATCH, 1, 1))
+                + jnp.asarray([w / 3.0, h / 3.0], jnp.float32)
+            )
+            pose_stage = _make_pose_stage(cb.side_length)
+            und, poses = pose_stage(
+                corners, intr, jnp.zeros(5, jnp.float32), obj_z0
+            )
+            # Same static solver config construction as the pose_ba stage —
+            # the jit is keyed on it, so the warm must match exactly.
+            pose_cfg = dataclasses.replace(
+                config.solver,
+                ftol=min(config.solver.ftol, 1e-7),
+                max_iters=max(config.solver.max_iters, 100),
+            )
+            ext0 = projection.extrinsics_from_params(poses)
+            jax.block_until_ready(
+                bundle_adjust.adjust_pose(
+                    ext0,
+                    intr,
+                    und.reshape(-1, 2),
+                    pattern=tuple(pattern),
+                    side_length=cb.side_length,
+                    config=pose_cfg,
+                )[0]
+            )
+
+        targets += [warm_subpix, warm_pose_and_ba]
+
+    for t in targets:
+        threading.Thread(target=safe(t), daemon=True).start()
 
 
 def _board_fit_residual(corners: np.ndarray, pattern) -> float:
@@ -873,7 +978,12 @@ def _run_pass1(
                 p2s = p2s_box[0]
                 warm_thread = threading.Thread(
                     target=_warm_pass2,
-                    args=(config, (chunk.shape[1] // p2s, chunk.shape[2] // p2s)),
+                    args=(
+                        config,
+                        (chunk.shape[1] // p2s, chunk.shape[2] // p2s),
+                        (chunk.shape[1] // scale, chunk.shape[2] // scale),
+                        None if markerfree else tuple(pattern),
+                    ),
                     daemon=True,
                 )
                 warm_thread.start()
@@ -1074,7 +1184,12 @@ def _run_pass1_host(
                 p2s = p2s_box[0]
                 warm_thread = threading.Thread(
                     target=_warm_pass2,
-                    args=(config, (chunk.shape[1] // p2s, chunk.shape[2] // p2s)),
+                    args=(
+                        config,
+                        (chunk.shape[1] // p2s, chunk.shape[2] // p2s),
+                        (chunk.shape[1] // scale, chunk.shape[2] // scale),
+                        None if markerfree else tuple(pattern),
+                    ),
                     daemon=True,
                 )
                 warm_thread.start()
@@ -1275,7 +1390,7 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
     rvec, tvec, res = ransac.estimate_relative_pose(
         coords[:, 0], coords[:, 1], sel01, k, jax.random.PRNGKey(0)
     )
-    n_inl = int((np.asarray(res.inliers) & np.asarray(sel01)).sum())
+    n_inl = int(np.asarray(jnp.sum(res.inliers & sel01)))  # one fused fetch
     support = [n_inl]
     if n_inl < 8:
         raise ValueError(
@@ -1304,13 +1419,6 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
             jnp.asarray(params), jnp.asarray(known), coords, obs_mask, k
         )
         m = jnp.asarray(valid3d) & obs_mask[:, i]
-        n_m = int(np.asarray(jnp.sum(m)))
-        if n_m < 6:
-            raise ValueError(
-                f"marker-free PnP chaining failed at keyframe {i}: only "
-                f"{n_m} triangulated tracks visible (< 6) — the video lacks "
-                "persistent trackable structure across keyframes"
-            )
         # PnP: MULTI-START pose-only LM — one batched solve from (a) the
         # previous keyframe's pose and (b) the constant-velocity SE(3)
         # extrapolation E_pred = (E_{i-1} E_{i-2}^{-1}) E_{i-1}; the winner
@@ -1347,7 +1455,18 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
             starts, pts2, k, xy2, m2, config=pose_cfg
         )  # (2, 6)
         inl2 = jax.vmap(lambda p: pnp_support(p, pts3d, coords[:, i], m, k))(cands)
-        counts = np.asarray(jnp.sum(inl2, axis=1))
+        # ONE fused fetch per step for everything host control flow needs:
+        # the visible-track count (the failure gate — checked after the PnP
+        # dispatch it would have gated; a doomed dispatch is cheaper than a
+        # dedicated link round trip) and both starts' support counts.
+        n_m_arr, counts = jax.device_get((jnp.sum(m), jnp.sum(inl2, axis=1)))
+        n_m = int(n_m_arr)
+        if n_m < 6:
+            raise ValueError(
+                f"marker-free PnP chaining failed at keyframe {i}: only "
+                f"{n_m} triangulated tracks visible (< 6) — the video lacks "
+                "persistent trackable structure across keyframes"
+            )
         best = int(np.argmax(counts))
         refined, inl = cands[best], inl2[best]
         n_inl_i = int(counts[best])
@@ -1358,8 +1477,11 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
                 refined[None], pts3d[None], k, xy, inl[None], config=pose_cfg
             )[0]
         support.append(max(n_inl_i, 0))
-        params[i] = np.asarray(refined)
         known[i] = True
+        # The refined pose stays ON DEVICE as the BA init — the post-BA
+        # fetch below refreshes the host copy of every pose including i, so
+        # materializing `refined` separately would be a wasted round trip.
+        params_dev = jnp.asarray(params).at[i].set(refined)
 
         # In-chain BA over keyframes 0..i: re-triangulate against the
         # updated pose set, then a masked warm-started solve (points +
@@ -1367,11 +1489,9 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
         # serves every step; the previous step's exit damping warm-starts
         # the next (same cap policy as _solve_and_finish's incremental BA).
         known_j = jnp.asarray(known)
-        pts3d, valid3d = triangulate_known(
-            jnp.asarray(params), known_j, coords, obs_mask, k
-        )
+        pts3d, valid3d = triangulate_known(params_dev, known_j, coords, obs_mask, k)
         _, ext4, ba_res = bundle_adjust.adjust_points(
-            projection.extrinsics_from_params(jnp.asarray(params)),
+            projection.extrinsics_from_params(params_dev),
             k,
             pts3d,
             obs_all,
@@ -1382,11 +1502,14 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
             config=chain_cfg,
             init_lambda=lam_chain,
         )
-        # np.array (copy): np.asarray of a jax array is a read-only view,
-        # and the next PnP step writes params[i] in place.
-        params = np.array(projection.params_from_extrinsics(ext4[:, :3, :]))
+        # ONE fused post-BA fetch: the refreshed pose set (np.array copy —
+        # the next PnP step writes params[i] in place) and the exit damping.
+        params6, lam_exit = jax.device_get(
+            (projection.params_from_extrinsics(ext4[:, :3, :]), ba_res.final_lambda)
+        )
+        params = np.array(params6)
         lam_chain = min(
-            float(ba_res.final_lambda) * chain_cfg.lambda_down,
+            float(lam_exit) * chain_cfg.lambda_down,
             chain_cfg.init_lambda,
         )
 
