@@ -512,13 +512,10 @@ def _warm_pass2(config: PipelineConfig, grey_shape, small_shape=None, pattern=No
     as soon as the first chunk arrives. Overlapping the compile with pass-1
     streaming removes it from the cold critical path.
 
-    After the ORB event releases the prefetcher, every OTHER fixed-shape
-    stage program (board detect, matching, sub-pixel refine, PnP pose, pose
-    BA) warms on its own daemon thread: their cold costs are dominated by
-    remote compile/load round trips, which overlap across threads, while
-    their dummy device executions are microscopic. Stages whose shapes
-    depend on data not known until pass 2 (calibration's keyframe count,
-    the BA/volume point buckets) are left to compile in place.
+    ``MEATMODELER_WARM_STAGES=1`` additionally warms the other fixed-shape
+    stage programs in parallel after the ORB event — see
+    ``_warm_stage_programs`` for why that is default-OFF on tunneled
+    backends (measured: it delays the first real consumer).
     """
     key = (config.orb, config.pass2_enhance, grey_shape)
     ev = _warm_event(key)
@@ -543,11 +540,24 @@ def _warm_pass2(config: PipelineConfig, grey_shape, small_shape=None, pattern=No
         logger.debug("pass-2 warmup failed", exc_info=True)
     finally:
         ev.set()
-    _warm_stage_programs(config, grey_shape, small_shape, pattern)
+    import os
+
+    if os.environ.get("MEATMODELER_WARM_STAGES", "") not in ("", "0"):
+        _warm_stage_programs(config, grey_shape, small_shape, pattern)
 
 
 def _warm_stage_programs(config, grey_shape, small_shape, pattern) -> None:
-    """Parallel warmup of the remaining fixed-shape stage programs."""
+    """Parallel warmup of the remaining fixed-shape stage programs.
+
+    NOT wired into the pipeline: measured on the tunneled backend, flooding
+    the link with stage-program loads during pass 1 DELAYS the first real
+    consumer (board detect queued behind every load: cold 38 s -> 204 s,
+    fully cache-hit) — the tunnel serializes executable loads, so programs
+    must load in consumption order, which is exactly what compiling them in
+    place already does. Kept for non-tunneled deployments (local TPU hosts
+    load executables at PCIe speed), callable via
+    ``MEATMODELER_WARM_STAGES=1``.
+    """
     import threading
 
     h, w = grey_shape
