@@ -47,8 +47,12 @@ def chessboard_object_points(pattern: Tuple[int, int], dtype=jnp.float32) -> jax
     return jnp.concatenate([grid, jnp.zeros((x * y, 1), dtype)], axis=-1)
 
 
-def _intrinsics_from_homographies(homs: jax.Array) -> jax.Array:
-    """Closed-form K from >= 3 plane homographies (Zhang's B-matrix solve)."""
+def _intrinsics_from_homographies(homs: jax.Array, view_mask=None) -> jax.Array:
+    """Closed-form K from >= 3 plane homographies (Zhang's B-matrix solve).
+
+    ``view_mask``: optional (F,) bool — masked views' constraint rows are
+    zeroed (padded views in a shape-bucketed solve contribute nothing).
+    """
 
     def v_ij(h, i, j):
         return jnp.stack(
@@ -65,7 +69,10 @@ def _intrinsics_from_homographies(homs: jax.Array) -> jax.Array:
     def rows(h):
         return jnp.stack([v_ij(h, 0, 1), v_ij(h, 0, 0) - v_ij(h, 1, 1)])
 
-    v = jax.vmap(rows)(homs).reshape(-1, 6)
+    v = jax.vmap(rows)(homs)
+    if view_mask is not None:
+        v = v * view_mask.astype(v.dtype)[:, None, None]
+    v = v.reshape(-1, 6)
     _, vecs = jnp.linalg.eigh(v.T @ v)
     b = vecs[:, 0]
     b11, b12, b22, b13, b23, b33 = b[0], b[1], b[2], b[3], b[4], b[5]
@@ -104,7 +111,7 @@ def _project_distorted(obj_pts, pose, intrinsics, dist):
     return xyd * jnp.stack([fx, fy]) + jnp.stack([cx, cy])
 
 
-def _single_focal_init(homs: jax.Array, cx, cy) -> jax.Array:
+def _single_focal_init(homs: jax.Array, cx, cy, view_mask=None) -> jax.Array:
     """Closed-form focal with a known principal point and zero skew.
 
     With K = [[f,0,cx],[0,f,cy],[0,0,1]], B = K^-T K^-1 = x*C + E where
@@ -128,6 +135,10 @@ def _single_focal_init(homs: jax.Array, cx, cy) -> jax.Array:
         return jnp.array([a1, a2]), jnp.array([b1, b2])
 
     a, b = jax.vmap(constraints)(homs)
+    if view_mask is not None:
+        vm = view_mask.astype(a.dtype)[:, None]
+        a = a * vm
+        b = b * vm
     a = a.reshape(-1)
     b = b.reshape(-1)
     x = -jnp.sum(a * b) / jnp.maximum(jnp.sum(a * a), 1e-12)
@@ -146,6 +157,7 @@ def calibrate(
     max_iters: int = 30,
     fix_principal_point: bool = False,
     single_focal: bool = False,
+    view_mask=None,
 ) -> CalibrationResult:
     """Calibrate from F planar views.
 
@@ -162,6 +174,11 @@ def calibrate(
         the target covers a small image fraction (the reference's (4, 3)
         board makes full calibration degenerate; cv2 fails on it too).
       single_focal: estimate one f for both axes (CALIB_FIX_ASPECT_RATIO).
+      view_mask: optional (F,) bool — False rows are PADDING (shape-bucketed
+        callers pad ``img_points`` with copies of a real view so every
+        intermediate stays finite); their Zhang constraints and residuals
+        are zeroed, so they contribute nothing to K/dist/rms, and their
+        pose slots converge to the copied view's init with zero gradient.
 
     Returns:
       CalibrationResult(K, dist5, per-view poses, reprojection RMS).
@@ -174,11 +191,11 @@ def calibrate(
 
     if fix_principal_point or single_focal:
         cx0, cy0 = 0.5 * w, 0.5 * h
-        f0 = _single_focal_init(homs, cx0, cy0)
+        f0 = _single_focal_init(homs, cx0, cy0, view_mask)
         f0 = jnp.where(jnp.isfinite(f0), f0, 1.2 * w)
         k_init = jnp.array([[f0, 0.0, cx0], [0.0, f0, cy0], [0.0, 0.0, 1.0]])
     else:
-        k_init = _intrinsics_from_homographies(homs)
+        k_init = _intrinsics_from_homographies(homs, view_mask)
         # Degenerate-geometry fallback: principal point at image center,
         # focal from a sane FOV guess.
         bad = ~jnp.all(jnp.isfinite(k_init))
@@ -212,7 +229,10 @@ def calibrate(
     def residual(theta):
         intr, dist, poses = unpack(theta)
         proj = jax.vmap(lambda p: _project_distorted(obj_points, p, intr, dist))(poses)
-        return (proj - img_points).reshape(-1)
+        r = proj - img_points
+        if view_mask is not None:
+            r = r * view_mask.astype(r.dtype)[:, None, None]
+        return r.reshape(-1)
 
     intr0 = [k_init[0, 0]] if single_focal else [k_init[0, 0], k_init[1, 1]]
     if not fix_principal_point:
@@ -282,7 +302,13 @@ def calibrate(
     und = distortion_mod.undistort_pixels(img_points, intr1, dist1)
     res1 = residual(theta).reshape(f, n, 2)
     frame_err = jnp.sqrt(jnp.sum(res1**2, axis=-1)).mean(axis=1)  # (F,)
-    bad_frame = frame_err > 3.0 * jnp.median(frame_err) + 0.5
+    if view_mask is None:
+        med_err = jnp.median(frame_err)
+        bad_frame = frame_err > 3.0 * med_err + 0.5
+    else:
+        # Median over REAL views only; padded views are never "rescued".
+        med_err = jnp.nanmedian(jnp.where(view_mask, frame_err, jnp.nan))
+        bad_frame = view_mask & (frame_err > 3.0 * med_err + 0.5)
     poses_pnp = pnp.solve_pnp_batch(plane, (0, 1), obj_points, und, intr1)
     poses_mix = jnp.where(bad_frame[:, None], poses_pnp, poses1)
     theta2, cost2 = run_lm(
@@ -293,5 +319,6 @@ def calibrate(
     cost = jnp.where(better, cost2, cost)
 
     intr, dist, poses = unpack(theta)
-    rms = jnp.sqrt(2.0 * cost / (f * n))
+    n_real = f if view_mask is None else jnp.maximum(jnp.sum(view_mask), 1)
+    rms = jnp.sqrt(2.0 * cost / (n_real * n))
     return CalibrationResult(intr, dist, poses, rms)

@@ -1838,13 +1838,26 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
 
         with metrics.stage("calibration"):
             obj_z0 = calibration.chessboard_object_points(pattern, corners.dtype)
+            # Bucketed to 8-multiples like every other pass-2 stage: padded
+            # views repeat view 0 (all intermediates stay finite) and carry
+            # view_mask=False, so the calibration program compiles once per
+            # size class instead of once per keyframe count.
+            cal_fb = -(-n_kf // 8) * 8
+            if cal_fb != n_kf:
+                corners_cal = jnp.concatenate(
+                    [corners, jnp.tile(corners[:1], (cal_fb - n_kf, 1, 1))]
+                )
+                vmask = jnp.arange(cal_fb) < n_kf
+            else:
+                corners_cal, vmask = corners, None
             calib = calibration.calibrate(
-                corners,
+                corners_cal,
                 obj_z0,
                 jnp.asarray([w, h], corners.dtype),
                 num_dist=config.chessboard.calib_num_dist,
                 fix_principal_point=config.chessboard.calib_fix_principal_point,
                 single_focal=config.chessboard.calib_single_focal,
+                view_mask=vmask,
             )
             metrics.count_async("calibration_rms_px", calib.rms, convert=float)
             numerics.check_finite("calibration", intrinsics=calib.intrinsics, dist=calib.dist)
