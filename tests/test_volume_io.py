@@ -159,6 +159,59 @@ class TestCarvedVolume:
         assert keep[:500].mean() > 0.95
         assert keep[500:].mean() < 0.05
 
+    def test_separable_morphology_matches_2d(self):
+        """The carve's separable dilate/erode (rows then columns) must equal
+        the full 2-D rectangle ops with the same constant OOB extensions —
+        the identity that justified the ~13x tap-count cut in
+        ``volume._carve_occupancy``; includes border cells, where the OOB
+        contract (dilate joins 0, erode joins "set") is what makes the
+        composition exact."""
+        import jax
+        import jax.lax as lax
+
+        def maxpool2d(g, r):
+            return lax.reduce_window(
+                g, jnp.float32(0.0), lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+            )
+
+        def erode2d(g, r):
+            return -lax.reduce_window(
+                -g, jnp.float32(-1.0), lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+            )
+
+        def maxpool_sep(g, r):
+            g = lax.reduce_window(
+                g, jnp.float32(0.0), lax.max, (1, 2 * r + 1), (1, 1), "SAME"
+            )
+            return lax.reduce_window(
+                g, jnp.float32(0.0), lax.max, (2 * r + 1, 1), (1, 1), "SAME"
+            )
+
+        def erode_sep(g, r):
+            g = -lax.reduce_window(
+                -g, jnp.float32(-1.0), lax.max, (1, 2 * r + 1), (1, 1), "SAME"
+            )
+            return -lax.reduce_window(
+                -g, jnp.float32(-1.0), lax.max, (2 * r + 1, 1), (1, 1), "SAME"
+            )
+
+        rng = np.random.default_rng(7)
+        for shape, rad in [((33, 47), 1), ((33, 47), 5), ((64, 40), 13), ((17, 17), 8)]:
+            g = (rng.random(shape) < 0.08).astype(np.float32)
+            gj = jnp.asarray(g)
+            np.testing.assert_array_equal(
+                np.asarray(maxpool_sep(gj, rad)), np.asarray(maxpool2d(gj, rad))
+            )
+            np.testing.assert_array_equal(
+                np.asarray(erode_sep(gj, rad)), np.asarray(erode2d(gj, rad))
+            )
+            # The composition the carve actually runs: closing then slack.
+            closed_sep = maxpool_sep(erode_sep(maxpool_sep(gj, rad), rad), 1)
+            closed_2d = maxpool2d(erode2d(maxpool2d(gj, rad), rad), 1)
+            np.testing.assert_array_equal(
+                np.asarray(closed_sep), np.asarray(closed_2d)
+            )
+
 
 class TestPly:
     def test_round_trip_binary(self, tmp_path):
