@@ -709,6 +709,9 @@ def run_markerless(frames, gt_poses, scene, focal: float = 0.0) -> dict:
         # fits the image evidence at least as well as truth — the aligned
         # pose error above is then the scene's information limit.
         "gt_config_rmse_px": round(gt_rmse, 4),
+        # Warm per-stage wall seconds — what the marker-free fps is made of
+        # (the chain stages `pose_chain`/`pose_ba` replace board detection).
+        "stage_s": {k: round(v, 3) for k, v in result.metrics["timings"].items()},
     }
 
 
