@@ -234,6 +234,17 @@ class VolumeConfig:
     # failure direction.
     hull_directions: int = 512
     hull_trim: int = 9
+    # Volume-confidence regime thresholds (ProcessResult.volume_confidence):
+    # the estimate is flagged LOW-confidence when the keyframe view arc is
+    # below confidence_min_arc_deg AND the item cloud's elongation (sqrt of
+    # the largest/middle covariance-eigenvalue ratio) exceeds
+    # confidence_max_elongation — the validated ~+40% weak regime (an
+    # elongated item whose unseen long-axis extent a narrow arc cannot
+    # constrain; tools/volume_validation.py). Thresholds sit between the
+    # validation tool's weak scene (50-deg arc, elongation ~2) and the
+    # gated accuracy scenes (wide arcs / rounder items).
+    confidence_min_arc_deg: float = 100.0
+    confidence_max_elongation: float = 1.6
 
 
 @dataclasses.dataclass(frozen=True)

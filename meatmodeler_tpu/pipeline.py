@@ -88,6 +88,12 @@ class ProcessResult(NamedTuple):
     ply_path: Optional[str]
     reprojection_rmse: float
     metrics: Dict[str, Any]
+    # Volume-estimate regime check: {"low_confidence", "view_arc_deg",
+    # "elongation", "reason", "n_item_points"}. low_confidence=True means the
+    # (view arc, item elongation) pair sits in the estimator's validated
+    # weak regime (narrow arc x elongated item: ~+40% hull overshoot — see
+    # VolumeConfig.confidence_* and tools/volume_validation.py).
+    volume_confidence: Optional[Dict[str, Any]] = None
 
 
 def _config_from_param_dicts(config, lk_params, feature_params):
@@ -2128,6 +2134,39 @@ def _solve_and_finish(
     metrics.count("volume_hull", vol_hull)
     metrics.count("volume_carved", vol_carve)
 
+    # Volume-confidence regime check (VERDICT r3 next #9): the hull's
+    # documented weak case is an elongated item observed from a narrow view
+    # arc (+~40% overshoot — the symmetric completion cannot know the
+    # unseen long-axis extent). Surface the predictors and a LOW flag so
+    # callers know when the estimate is in that regime instead of silently
+    # trusting it; thresholds in VolumeConfig, gated against
+    # tools/volume_validation.py's scene spread.
+    arc_deg, elong = float(fused[4]), float(fused[5])
+    vc = config.volume
+    low = (
+        n_item >= 8
+        and arc_deg < vc.confidence_min_arc_deg
+        and elong > vc.confidence_max_elongation
+    )
+    reason = ""
+    if low:
+        reason = (
+            f"view arc {arc_deg:.0f} deg < {vc.confidence_min_arc_deg:.0f} and "
+            f"item elongation {elong:.2f} > {vc.confidence_max_elongation:.2f}: "
+            "the symmetric-completion hull cannot observe the item's far "
+            "long-axis extent from this arc (validated weak case: ~+40%)"
+        )
+    volume_confidence = {
+        "low_confidence": bool(low),
+        "view_arc_deg": round(arc_deg, 2),
+        "elongation": round(elong, 3),
+        "reason": reason,
+        "n_item_points": n_item,
+    }
+    metrics.count("volume_low_confidence", bool(low))
+    metrics.count("volume_view_arc_deg", round(arc_deg, 2))
+    metrics.count("volume_elongation", round(elong, 3))
+
     return ProcessResult(
         points=new_pts_np,
         extrinsics=new_ext_np,
@@ -2138,6 +2177,7 @@ def _solve_and_finish(
         ply_path=ply_path,
         reprojection_rmse=float(fused[3]),
         metrics=metrics.as_dict(),
+        volume_confidence=volume_confidence,
     )
 
 
@@ -2147,10 +2187,11 @@ def _estimate_volume(
 ):
     """Hull + carved volume of the item points — DISPATCH ONLY.
 
-    Returns a (4,) device array [hull, carve, n_item, rmse] (``rmse`` is an
-    unrelated scalar hitching a ride on the caller's single fused readback;
-    0 when not supplied). The caller applies the too-few-points NaN rule
-    after fetching.
+    Returns a (6,) device array [hull, carve, n_item, rmse, view_arc_deg,
+    elongation] (``rmse`` is an unrelated scalar hitching a ride on the
+    caller's single fused readback; 0 when not supplied; the last two are
+    the volume-confidence predictors — see ``_view_regime``). The caller
+    applies the too-few-points NaN rule after fetching.
 
     ``point_sigma``: per-point positional uncertainty (octave sigma). The
     hull/carve estimators are set entirely by extreme points, so
@@ -2237,12 +2278,56 @@ def _estimate_volume(
         vote_frac=config.volume.carve_vote_frac,
         support_mask=support_mask,
     )
-    return jnp.stack(
+    return jnp.concatenate(
         [
-            vol_hull_j.astype(jnp.float32),
-            vol_carve_j.astype(jnp.float32),
-            jnp.sum(item_mask).astype(jnp.float32),
-            (jnp.zeros((), jnp.float32) if rmse is None
-             else jnp.asarray(rmse).astype(jnp.float32)),
+            jnp.stack(
+                [
+                    vol_hull_j.astype(jnp.float32),
+                    vol_carve_j.astype(jnp.float32),
+                    jnp.sum(item_mask).astype(jnp.float32),
+                    (jnp.zeros((), jnp.float32) if rmse is None
+                     else jnp.asarray(rmse).astype(jnp.float32)),
+                ]
+            ),
+            _view_regime(ext4, proj_mask, pts_j, item_mask).astype(jnp.float32),
         ]
     )
+
+
+@jax.jit
+def _view_regime(ext4, proj_mask, points, item_mask):
+    """(2,) [view_arc_deg, elongation] — the volume-confidence predictors.
+
+    The hull estimator's documented weak case (config.py VolumeConfig
+    notes; tools/volume_validation.py) is an ELONGATED item seen from a
+    NARROW view arc: the symmetric completion cannot know the unseen
+    long-axis extent and overshoots by ~+40%. Both predictors are cheap
+    device reductions that ride the caller's single fused readback:
+
+      * view_arc_deg — the maximum pairwise angle between the active
+        keyframe cameras' viewing directions (camera center -> item
+        centroid). A full turntable orbit reads near 180; a one-sided
+        wedge reads its arc.
+      * elongation — sqrt of the ratio of the item cloud's largest to
+        middle covariance eigenvalue (1.0 = isotropic in its two longest
+        axes; the weak-case scenes read ~2+).
+    """
+    n_item = jnp.maximum(jnp.sum(item_mask), 1)
+    pts_f = points.astype(jnp.float32)
+    centroid = jnp.sum(jnp.where(item_mask[:, None], pts_f, 0.0), axis=0) / n_item
+
+    r = ext4[:, :3, :3]
+    t = ext4[:, :3, 3]
+    centers = -jnp.einsum("fij,fi->fj", r, t)  # -R^T t
+    d = centers - centroid[None, :]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+    cosang = jnp.clip(d @ d.T, -1.0, 1.0)
+    pair_ok = proj_mask[:, None] & proj_mask[None, :]
+    arc = jnp.max(jnp.where(pair_ok, jnp.arccos(cosang), 0.0))
+    arc_deg = arc * (180.0 / jnp.pi)
+
+    x = jnp.where(item_mask[:, None], pts_f - centroid[None, :], 0.0)
+    cov = (x.T @ x) / n_item
+    eig = jnp.linalg.eigvalsh(cov)  # ascending
+    elong = jnp.sqrt(eig[2] / jnp.maximum(eig[1], 1e-12))
+    return jnp.stack([arc_deg, elong])

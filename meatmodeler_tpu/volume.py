@@ -160,6 +160,38 @@ def convex_hull_volume(
     return jnp.sum(inside) * voxel_vol
 
 
+def maxpool_sep(g: jax.Array, r: int) -> jax.Array:
+    """Binary dilation by a (2r+1)^2 square, run SEPARABLY (rows then
+    columns): max over the rectangle with a constant out-of-bounds extension
+    equals the composition of the two 1-D passes with the same extension,
+    and the tap count drops from (2r+1)^2 to 2*(2r+1) — at the carve's
+    closing radius (~13 grid cells) that is ~13x less VPU work per
+    silhouette. The 2-D-equality identity is pinned by
+    tests/test_volume_io.py::test_separable_morphology_matches_2d (on THESE
+    functions — the carve calls them directly)."""
+    g = jax.lax.reduce_window(
+        g, jnp.float32(0.0), jax.lax.max, (1, 2 * r + 1), (1, 1), "SAME"
+    )
+    return jax.lax.reduce_window(
+        g, jnp.float32(0.0), jax.lax.max, (2 * r + 1, 1), (1, 1), "SAME"
+    )
+
+
+def erode_sep(g: jax.Array, r: int) -> jax.Array:
+    """Binary erosion by a (2r+1)^2 square, separable like ``maxpool_sep``.
+
+    init -1 (not 0): reduce_window's init joins every window, and a 0 init
+    would make max(-g) trivially 0 everywhere. (OOB is therefore treated as
+    "set", so erosion never shrinks at the image border — the same contract
+    in both 1-D passes.)"""
+    g = -jax.lax.reduce_window(
+        -g, jnp.float32(-1.0), jax.lax.max, (1, 2 * r + 1), (1, 1), "SAME"
+    )
+    return -jax.lax.reduce_window(
+        -g, jnp.float32(-1.0), jax.lax.max, (2 * r + 1, 1), (1, 1), "SAME"
+    )
+
+
 def _carve_occupancy(
     points: jax.Array,
     mask: jax.Array,
@@ -218,34 +250,9 @@ def _carve_occupancy(
             jnp.where(ok, gy, gh), jnp.where(ok, gx, gw)
         ].set(1.0, mode="drop")
 
-        # Both morphology ops run SEPARABLY (rows then columns): max/min over
-        # a (2r+1)^2 rectangle with a constant out-of-bounds extension equals
-        # the composition of the two 1-D passes with the same extension, and
-        # the tap count drops from (2r+1)^2 to 2*(2r+1) — at the closing
-        # radius (~13 grid cells) that is ~13x less VPU work per silhouette.
-        def maxpool(g, r):
-            g = jax.lax.reduce_window(
-                g, jnp.float32(0.0), jax.lax.max, (1, 2 * r + 1), (1, 1), "SAME"
-            )
-            return jax.lax.reduce_window(
-                g, jnp.float32(0.0), jax.lax.max, (2 * r + 1, 1), (1, 1), "SAME"
-            )
-
-        def erode(g, r):
-            # init -1 (not 0): reduce_window's init joins every window, and
-            # a 0 init would make max(-g) trivially 0 everywhere. (OOB is
-            # therefore treated as "set", so erosion never shrinks at the
-            # image border — the same contract in both 1-D passes.)
-            g = -jax.lax.reduce_window(
-                -g, jnp.float32(-1.0), jax.lax.max, (1, 2 * r + 1), (1, 1), "SAME"
-            )
-            return -jax.lax.reduce_window(
-                -g, jnp.float32(-1.0), jax.lax.max, (2 * r + 1, 1), (1, 1), "SAME"
-            )
-
-        closed = erode(maxpool(grid, close_rad), close_rad)
+        closed = erode_sep(maxpool_sep(grid, close_rad), close_rad)
         # Final coverage slack around the closed silhouette.
-        return maxpool(closed, rad)
+        return maxpool_sep(closed, rad)
 
     sils = jax.vmap(silhouette)(projections)  # (F, gh, gw)
 

@@ -165,9 +165,12 @@ class TestCarvedVolume:
         the identity that justified the ~13x tap-count cut in
         ``volume._carve_occupancy``; includes border cells, where the OOB
         contract (dilate joins 0, erode joins "set") is what makes the
-        composition exact."""
-        import jax
+        composition exact. Tests the PRODUCTION helpers (the carve calls
+        ``volume.maxpool_sep``/``volume.erode_sep`` directly), so drift in
+        their init values or window shapes fails here."""
         import jax.lax as lax
+
+        from meatmodeler_tpu.volume import erode_sep, maxpool_sep
 
         def maxpool2d(g, r):
             return lax.reduce_window(
@@ -177,22 +180,6 @@ class TestCarvedVolume:
         def erode2d(g, r):
             return -lax.reduce_window(
                 -g, jnp.float32(-1.0), lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
-            )
-
-        def maxpool_sep(g, r):
-            g = lax.reduce_window(
-                g, jnp.float32(0.0), lax.max, (1, 2 * r + 1), (1, 1), "SAME"
-            )
-            return lax.reduce_window(
-                g, jnp.float32(0.0), lax.max, (2 * r + 1, 1), (1, 1), "SAME"
-            )
-
-        def erode_sep(g, r):
-            g = -lax.reduce_window(
-                -g, jnp.float32(-1.0), lax.max, (1, 2 * r + 1), (1, 1), "SAME"
-            )
-            return -lax.reduce_window(
-                -g, jnp.float32(-1.0), lax.max, (2 * r + 1, 1), (1, 1), "SAME"
             )
 
         rng = np.random.default_rng(7)
