@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 from meatmodeler_tpu.geometry import so3
 
 __all__ = [
@@ -28,6 +30,7 @@ __all__ = [
 ]
 
 
+@matmul_highp
 def rotate_points(points: jax.Array, rvecs: jax.Array) -> jax.Array:
     """Rodrigues-rotate each point by its paired axis-angle vector.
 
@@ -43,9 +46,23 @@ def rotate_points(points: jax.Array, rvecs: jax.Array) -> jax.Array:
     """
     points, rvecs = jnp.broadcast_arrays(jnp.asarray(points), jnp.asarray(rvecs))
     theta_sq = jnp.sum(rvecs * rvecs, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
-    small = theta < 1e-6
-    safe_theta = jnp.where(small, 1.0, theta)
+    small = theta_sq < 1e-12
+
+    # DIFFERENTIABILITY at the identity is load-bearing, not cosmetic: the
+    # anchor camera of every reconstruction has rvec exactly 0, and this
+    # function sits inside the BA Jacobian. Two NaN traps live here:
+    #   1. sqrt(0) has an infinite derivative, so the guard must be INSIDE
+    #      the sqrt (sqrt(where(small, 1, x)), never where(small, 1, sqrt(x))
+    #      — the zero cotangent into the untaken branch still meets d sqrt's
+    #      inf and 0 * inf = NaN);
+    #   2. every use of theta (including cos(theta)) needs a small-branch
+    #      Taylor polynomial in theta_sq.
+    # Unguarded, the whole LM camera gradient went NaN whenever any camera
+    # sat at the identity, silently railing the damping without ever
+    # accepting a step (caught by tests/test_tpu_device.py::
+    # test_global_ba_converges_on_device).
+    safe_theta_sq = jnp.where(small, 1.0, theta_sq)
+    safe_theta = jnp.sqrt(safe_theta_sq)
 
     # Rodrigues: p' = cos(th) p + sin(th) (v x p) + (1 - cos th) (v . p) v
     # with v the unit axis. Rewritten against the *unnormalized* rvec k:
@@ -53,17 +70,19 @@ def rotate_points(points: jax.Array, rvecs: jax.Array) -> jax.Array:
     # both coefficients smooth through th = 0.
     a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(safe_theta) / safe_theta)
     b = jnp.where(
-        small,
-        0.5 - theta_sq / 24.0,
-        (1.0 - jnp.cos(safe_theta)) / jnp.where(small, 1.0, theta_sq),
+        small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(safe_theta)) / safe_theta_sq
     )
-    cos_theta = jnp.cos(theta)
+    cos_theta = jnp.where(
+        small, 1.0 - theta_sq / 2.0 + theta_sq * theta_sq / 24.0,
+        jnp.cos(safe_theta),
+    )
 
     cross = jnp.cross(rvecs, points)
     dot = jnp.sum(points * rvecs, axis=-1, keepdims=True)
     return cos_theta * points + a * cross + b * dot * rvecs
 
 
+@matmul_highp
 def project_points(points: jax.Array, cam_params: jax.Array, intrinsics: jax.Array) -> jax.Array:
     """Project 3D points through per-observation camera parameters.
 
@@ -84,6 +103,7 @@ def project_points(points: jax.Array, cam_params: jax.Array, intrinsics: jax.Arr
     return homog[..., :2] / homog[..., 2:3]
 
 
+@matmul_highp
 def params_from_extrinsics(extrinsics: jax.Array) -> jax.Array:
     """Pack (..., 3, 4) or (..., 4, 4) extrinsic matrices [R|t] into (..., 6).
 
@@ -96,6 +116,7 @@ def params_from_extrinsics(extrinsics: jax.Array) -> jax.Array:
     return jnp.concatenate([so3.log(rot), tvec], axis=-1)
 
 
+@matmul_highp
 def extrinsics_from_params(params: jax.Array, homogeneous: bool = False) -> jax.Array:
     """Unpack (..., 6) camera parameters to extrinsic matrices.
 
@@ -111,6 +132,7 @@ def extrinsics_from_params(params: jax.Array, homogeneous: bool = False) -> jax.
     return ext
 
 
+@matmul_highp
 def projection_from_extrinsic(intrinsics: jax.Array, extrinsic: jax.Array) -> jax.Array:
     """P = K @ [R|t] for (..., 3, 4) extrinsics (``processor.py:184,448``)."""
     return jnp.einsum("ij,...jk->...ik", intrinsics, extrinsic[..., :3, :])

@@ -15,12 +15,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 __all__ = ["hat", "exp", "log", "exp_log_consistent"]
 
 # Below this angle the closed forms are replaced with Taylor expansions.
 _SMALL_ANGLE = 1e-6
 
 
+@matmul_highp
 def hat(v: jax.Array) -> jax.Array:
     """Skew-symmetric (cross-product) matrix of ``v``: hat(v) @ x == cross(v, x).
 
@@ -43,6 +46,7 @@ def hat(v: jax.Array) -> jax.Array:
     return rows
 
 
+@matmul_highp
 def exp(rvec: jax.Array) -> jax.Array:
     """Axis-angle -> rotation matrix (the Rodrigues formula).
 
@@ -58,12 +62,13 @@ def exp(rvec: jax.Array) -> jax.Array:
     """
     rvec = jnp.asarray(rvec)
     theta_sq = jnp.sum(rvec * rvec, axis=-1)
-    theta = jnp.sqrt(theta_sq)
-    small = theta < _SMALL_ANGLE
+    small = theta_sq < _SMALL_ANGLE**2
 
-    # Guard the denominators; the `small` branch never uses the guarded values.
-    safe_theta = jnp.where(small, 1.0, theta)
+    # Guard INSIDE the sqrt (see rotate_points: sqrt(0) has an infinite
+    # derivative, and where-after-sqrt still leaks NaN into any gradient
+    # taken through an identity rotation).
     safe_theta_sq = jnp.where(small, 1.0, theta_sq)
+    safe_theta = jnp.sqrt(safe_theta_sq)
 
     a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(safe_theta) / safe_theta)
     b = jnp.where(
@@ -75,6 +80,7 @@ def exp(rvec: jax.Array) -> jax.Array:
     return eye + a[..., None, None] * k + b[..., None, None] * (k @ k)
 
 
+@matmul_highp
 def log(rot: jax.Array) -> jax.Array:
     """Rotation matrix -> axis-angle (inverse Rodrigues).
 
@@ -104,10 +110,13 @@ def log(rot: jax.Array) -> jax.Array:
     ) * 0.5
     # atan2 angle: arccos of the trace loses precision catastrophically as
     # th -> pi (d arccos blows up), while atan2(|sin|, cos) stays exact.
-    sin_norm = jnp.linalg.norm(skew, axis=-1)
-    theta = jnp.arctan2(sin_norm, cos_theta)
-
-    small = theta < _SMALL_ANGLE
+    # `small` is decided from sin^2 (smooth) BEFORE any sqrt so the norm can
+    # be guarded inside it — |skew| at the identity otherwise injects NaN
+    # into every gradient through log (same trap as rotate_points).
+    sin_sq = jnp.sum(skew * skew, axis=-1)
+    small = (sin_sq < _SMALL_ANGLE**2) & (cos_theta > 0.0)
+    sin_norm = jnp.sqrt(jnp.where(small, 1.0, sin_sq))
+    theta = jnp.arctan2(jnp.where(small, 0.0, sin_norm), cos_theta)
     # The diagonal-based axis extraction below is exact for ALL theta (the
     # diag of R is cos + (1-cos) a_i^2 with no sin term), so switch to it
     # well before sin(th) gets small: the generic skew formula amplifies
@@ -119,8 +128,10 @@ def log(rot: jax.Array) -> jax.Array:
     sin_theta = jnp.sin(jnp.where(small | near_pi, 1.0, theta))
     generic = skew * (theta / sin_theta)[..., None]
 
-    # Small branch: rvec ~ skew_vee * (1 + th^2/6).
-    small_branch = skew * (1.0 + theta * theta / 6.0)[..., None]
+    # Small branch: rvec ~ skew_vee * (1 + th^2/6), with th^2 ~ sin^2 th
+    # (identical to O(th^4), and a smooth polynomial of the matrix entries —
+    # `theta` itself is pinned to 0 for small entries above).
+    small_branch = skew * (1.0 + sin_sq / 6.0)[..., None]
 
     # Near-pi branch: axis from the diagonal of R = I + (1-cos)*aa^T + ...
     # outer = (R + I)/2 -> diag gives axis^2 * (1-cos)/2 + ...; standard recipe:
@@ -130,7 +141,11 @@ def log(rot: jax.Array) -> jax.Array:
     # B = (R - cos*I) / (1 - cos) = aa^T  (exact at th = pi).
     one_minus_cos = jnp.where(near_pi, 1.0 - cos_theta, 1.0)
     axis_sq = jnp.clip((diag - cos_theta[..., None]) / one_minus_cos[..., None], 0.0, 1.0)
-    axis_abs = jnp.sqrt(axis_sq)
+    # Guard inside the sqrt again: away from the near-pi branch axis_sq
+    # clips to exactly 0 (e.g. at the identity), and sqrt(0)'s infinite
+    # derivative would NaN any gradient through log even though this branch
+    # is untaken there.
+    axis_abs = jnp.sqrt(jnp.where(near_pi[..., None], axis_sq, 1.0))
     # Fix signs from the off-diagonal symmetric part: (R+R^T)/2 off-diags are
     # axis_i*axis_j*(1-cos). Pick the sign relative to the largest component.
     # Sign recovery: with the largest component taken positive, the minor
@@ -162,6 +177,7 @@ def log(rot: jax.Array) -> jax.Array:
     return out
 
 
+@matmul_highp
 def exp_log_consistent(rvec: jax.Array) -> jax.Array:
     """Round-trip helper used in tests: log(exp(rvec))."""
     return log(exp(rvec))

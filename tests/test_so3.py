@@ -76,3 +76,54 @@ class TestLog:
         rvecs = rand_rvecs(12).reshape(3, 4, 3)
         assert so3.exp(rvecs).shape == (3, 4, 3, 3)
         assert so3.log(so3.exp(rvecs)).shape == (3, 4, 3)
+
+
+import jax.numpy as jnp
+
+
+class TestGradientsAtIdentity:
+    """The BA Jacobian differentiates Rodrigues maps AT the identity — the
+    anchor camera of every reconstruction has rvec exactly 0. sqrt(0)'s
+    infinite derivative turned the whole LM camera gradient NaN through
+    where-after-sqrt guards (the fix guards INSIDE the sqrt); this pins all
+    three maps. Regression for the bug caught on-device by
+    tests/test_tpu_device.py::test_global_ba_converges_on_device."""
+
+    def test_exp_jacobian_finite_at_zero(self):
+        import jax
+
+        g = np.asarray(jax.jacobian(so3.exp)(jnp.zeros(3)))
+        assert np.isfinite(g).all()
+        # d exp / d rvec at 0 is the hat-map generator set.
+        expect = np.asarray(jax.jacobian(so3.hat)(jnp.zeros(3)))
+        np.testing.assert_allclose(g, expect, atol=1e-6)
+
+    def test_log_jacobian_finite_at_identity(self):
+        import jax
+
+        g = np.asarray(jax.jacobian(so3.log)(jnp.eye(3)))
+        assert np.isfinite(g).all()
+
+    def test_project_points_jacobian_finite_at_identity_camera(self):
+        import jax
+
+        from meatmodeler_tpu.geometry import projection
+
+        k = jnp.asarray([[500.0, 0, 200], [0, 500.0, 150], [0, 0, 1]])
+        pts = jnp.asarray([[0.3, -0.2, 5.0]])
+
+        def uv_of_cam(cam6):
+            return projection.project_points(pts, cam6[None], k)[0]
+
+        g = np.asarray(jax.jacobian(uv_of_cam)(jnp.zeros(6)))
+        assert np.isfinite(g).all()
+        # Finite-difference cross-check on the rotation block.
+        eps = 1e-4
+        for j in range(3):
+            e = np.zeros(6, np.float32)
+            e[j] = eps
+            fd = (
+                np.asarray(uv_of_cam(jnp.asarray(e)))
+                - np.asarray(uv_of_cam(jnp.asarray(-e)))
+            ) / (2 * eps)
+            np.testing.assert_allclose(g[:, j], fd, rtol=1e-2, atol=1e-2)
