@@ -21,6 +21,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 from meatmodeler_tpu.geometry import distortion as distortion_mod
 from meatmodeler_tpu.geometry import projection, so3
 from meatmodeler_tpu.geometry.homography import find_homography
@@ -47,6 +49,7 @@ def chessboard_object_points(pattern: Tuple[int, int], dtype=jnp.float32) -> jax
     return jnp.concatenate([grid, jnp.zeros((x * y, 1), dtype)], axis=-1)
 
 
+@matmul_highp
 def _intrinsics_from_homographies(homs: jax.Array, view_mask=None) -> jax.Array:
     """Closed-form K from >= 3 plane homographies (Zhang's B-matrix solve).
 
@@ -87,6 +90,7 @@ def _intrinsics_from_homographies(homs: jax.Array, view_mask=None) -> jax.Array:
     return jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
 
 
+@matmul_highp
 def _pose_from_homography(h: jax.Array, intrinsics: jax.Array) -> jax.Array:
     """Extrinsic init from a z=0-plane homography: H = s K [r1 r2 t]."""
     m = jnp.linalg.solve(intrinsics, h)
@@ -111,6 +115,7 @@ def _project_distorted(obj_pts, pose, intrinsics, dist):
     return xyd * jnp.stack([fx, fy]) + jnp.stack([cx, cy])
 
 
+@matmul_highp
 def _single_focal_init(homs: jax.Array, cx, cy, view_mask=None) -> jax.Array:
     """Closed-form focal with a known principal point and zero skew.
 
@@ -149,6 +154,7 @@ def _single_focal_init(homs: jax.Array, cx, cy, view_mask=None) -> jax.Array:
     jax.jit,
     static_argnames=("num_dist", "max_iters", "fix_principal_point", "single_focal"),
 )
+@matmul_highp
 def calibrate(
     img_points: jax.Array,
     obj_points: jax.Array,

@@ -11,9 +11,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 __all__ = ["find_homography", "normalize_points"]
 
 
+@matmul_highp
 def normalize_points(pts: jax.Array):
     """Hartley normalization: translate to centroid, scale to mean dist sqrt(2).
 
@@ -37,6 +40,7 @@ def normalize_points(pts: jax.Array):
     return centered * scale, t
 
 
+@matmul_highp
 def find_homography(src: jax.Array, dst: jax.Array) -> jax.Array:
     """DLT homography with Hartley normalization: dst ~ H @ src.
 

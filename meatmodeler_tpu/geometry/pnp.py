@@ -22,6 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 from meatmodeler_tpu.geometry import projection
 
 __all__ = ["solve_pnp_planar", "refine_pose", "solve_pnp_batch"]
@@ -35,6 +37,7 @@ def _orthonormalize(r: jax.Array) -> jax.Array:
     return u @ fix @ vt
 
 
+@matmul_highp
 def solve_pnp_planar(
     plane_uv: jax.Array,
     obj_cols: jax.Array,
@@ -101,6 +104,7 @@ def solve_pnp_planar(
     )
 
 
+@matmul_highp
 def refine_pose(
     pose: jax.Array,
     obj_pts: jax.Array,
@@ -132,6 +136,7 @@ def refine_pose(
 
 
 @partial(jax.jit, static_argnames=("obj_cols", "iters"))
+@matmul_highp
 def solve_pnp_batch(
     plane_uv: jax.Array,
     obj_cols,

@@ -22,6 +22,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 from meatmodeler_tpu.geometry import so3
 from meatmodeler_tpu.geometry.triangulation import triangulate_pairs
 
@@ -89,6 +91,7 @@ def _sampson(f: jax.Array, p1h: jax.Array, p2h: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
+@matmul_highp
 def find_fundamental(
     pts1: jax.Array,
     pts2: jax.Array,
@@ -187,6 +190,7 @@ def _project_to_essential(f: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
+@matmul_highp
 def find_essential(
     pts1: jax.Array,
     pts2: jax.Array,
@@ -280,6 +284,7 @@ def find_essential(
     )
 
 
+@matmul_highp
 def recover_pose(
     essential: jax.Array,
     pts1: jax.Array,
@@ -328,6 +333,7 @@ def recover_pose(
 
 
 @jax.jit
+@matmul_highp
 def refine_relative_pose(
     rvec: jax.Array,
     tvec: jax.Array,
@@ -427,6 +433,7 @@ def refine_relative_pose(
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "top_k"))
+@matmul_highp
 def estimate_relative_pose(
     pts1: jax.Array,
     pts2: jax.Array,
@@ -623,6 +630,7 @@ def _homography_transfer_sq(h: jax.Array, pts1: jax.Array, pts2: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
+@matmul_highp
 def find_homography_ransac(
     pts1: jax.Array,
     pts2: jax.Array,

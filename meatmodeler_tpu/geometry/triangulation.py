@@ -16,9 +16,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 __all__ = ["triangulate_pairs", "triangulate_nview"]
 
 
+@matmul_highp
 def _dlt_solve(design: jax.Array) -> jax.Array:
     """Solve the homogeneous system ``design @ X = 0`` for unit X, batched.
 
@@ -33,6 +36,7 @@ def _dlt_solve(design: jax.Array) -> jax.Array:
     return vecs[..., :, 0]
 
 
+@matmul_highp
 def triangulate_pairs(
     proj1: jax.Array,
     proj2: jax.Array,
@@ -62,6 +66,7 @@ def triangulate_pairs(
     return homog[..., :3] / homog[..., 3:4]
 
 
+@matmul_highp
 def triangulate_nview(
     projections: jax.Array,
     coords: jax.Array,

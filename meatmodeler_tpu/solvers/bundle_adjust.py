@@ -44,6 +44,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from meatmodeler_tpu.utils.precision import matmul_highp
+
 from meatmodeler_tpu.config import SolverConfig
 from meatmodeler_tpu.geometry import projection
 
@@ -79,6 +81,7 @@ class BAResult(NamedTuple):
     final_lambda: jax.Array = 0.0
 
 
+@matmul_highp
 def _residuals(cam_params, points, intrinsics, obs, fidx, pidx, mask, weight=None):
     proj = projection.project_points(points[pidx], cam_params[fidx], intrinsics)
     r = (proj - obs) * mask[:, None]
@@ -87,6 +90,7 @@ def _residuals(cam_params, points, intrinsics, obs, fidx, pidx, mask, weight=Non
     return r
 
 
+@matmul_highp
 def _obs_jacobians(cam_params, points, intrinsics, obs, fidx, pidx, mask, weight=None):
     """Per-observation residual Jacobians: (N,2,6) wrt camera, (N,2,3) wrt point."""
 
@@ -117,6 +121,7 @@ def _allsum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+@matmul_highp
 def _solve_normal_equations(
     problem: BAProblem, lam: jax.Array, jc, jp, r, axis_name=None,
     fix_points: bool = False,
@@ -240,6 +245,7 @@ def _solve_normal_equations(
     return delta_c, delta_p
 
 
+@matmul_highp
 def _cost(problem, cam, pts, axis_name=None):
     r = _residuals(
         cam, pts, problem.intrinsics, problem.obs,
@@ -249,6 +255,7 @@ def _cost(problem, cam, pts, axis_name=None):
 
 
 @partial(jax.jit, static_argnames=("config", "fix_points", "axis_name"))
+@matmul_highp
 def solve_ba(
     problem: BAProblem,
     config: SolverConfig = SolverConfig(),
@@ -492,6 +499,7 @@ def adjust_points(
 
 
 @partial(jax.jit, static_argnames=("config",))
+@matmul_highp
 def _adjust_points_jit(
     extrinsics,
     intrinsics,
@@ -614,6 +622,7 @@ def adjust_pose(
 
 
 @partial(jax.jit, static_argnames=("pattern", "side_length", "config"))
+@matmul_highp
 def _adjust_pose_jit(
     extrinsics,
     intrinsics,
@@ -649,6 +658,7 @@ def _adjust_pose_jit(
     return projection.extrinsics_from_params(result.cam_params), result
 
 
+@matmul_highp
 def pose_only_refine(
     cam_params: jax.Array,
     points_3d: jax.Array,
