@@ -65,7 +65,7 @@ except Exception:
 from meatmodeler_tpu import tracks as tracks_mod
 from meatmodeler_tpu import volume as volume_mod
 from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig, SolverConfig
-from meatmodeler_tpu.geometry import calibration, distortion, pnp, projection, triangulation
+from meatmodeler_tpu.geometry import calibration, distortion, pnp, projection, so3, triangulation
 from meatmodeler_tpu.io import native_ops
 from meatmodeler_tpu.io import ply as ply_mod
 from meatmodeler_tpu.io import video as video_mod
@@ -1348,6 +1348,103 @@ def _make_markerfree_stages(reproj_gate: float):
     return triangulate_known, pnp_support
 
 
+@functools.lru_cache(maxsize=8)
+def _make_chain_step(reproj_gate: float, pose_cfg, chain_cfg):
+    """ONE jitted program for a full incremental-chain step: masked
+    re-triangulation -> 2-start PnP -> outlier-trimmed re-solve -> masked
+    warm-started BA, with the keyframe index traced so a single compile
+    serves every step of every video in the same shape bucket.
+
+    The split version dispatched 4 programs and paid TWO host<->device
+    syncs per step (the PnP winner selection and the post-BA pose/damping
+    readback — ~0.23 s/step over a tunneled link, ~1.4 s of a 6-step
+    chain). Here the winner is argmax'd on device, the trimmed re-solve is
+    computed unconditionally and selected by predicate (one extra 6-dof LM
+    — far cheaper than a link round trip), and the host loop just chains
+    device handles; the per-step support counts and visible-track gates
+    come back in ONE fused fetch after the last step.
+
+    All problem arrays enter as ARGUMENTS, not closures — a closed-over
+    device array is baked into the compiled program as a constant, which
+    would both bloat the executable and force a recompile per video.
+    """
+    triangulate_known, pnp_support = _make_markerfree_stages(reproj_gate)
+    from meatmodeler_tpu.solvers import bundle_adjust
+
+    @jax.jit
+    def chain_step(params, known, lam, i, coords, obs_mask, obs_all, fidx_all, pidx_all, intr):
+        pts3d, valid3d = triangulate_known(params, known, coords, obs_mask, intr)
+        m = valid3d & jnp.take(obs_mask, i, axis=1)
+        xy = jnp.take(coords, i, axis=1)  # (T, 2)
+
+        # Constant-velocity SE(3) extrapolation E_pred = (E_{i-1} E_{i-2}^-1)
+        # E_{i-1}, on device (the host scipy version forced params to live on
+        # host between steps).
+        e1 = projection.extrinsics_from_params(
+            jnp.take(params, i - 1, axis=0)[None], homogeneous=True
+        )[0]
+        e2 = projection.extrinsics_from_params(
+            jnp.take(params, i - 2, axis=0)[None], homogeneous=True
+        )[0]
+        r2, t2 = e2[:3, :3], e2[:3, 3]
+        e2inv = jnp.eye(4, dtype=e2.dtype).at[:3, :3].set(r2.T).at[:3, 3].set(-r2.T @ t2)
+        e_pred = (e1 @ e2inv) @ e1
+        p_pred = jnp.concatenate([so3.log(e_pred[:3, :3]), e_pred[:3, 3]])
+
+        # PnP: MULTI-START pose-only LM from (a) the previous keyframe's
+        # pose and (b) the extrapolation — the previous-pose init alone
+        # biases LM toward a rotation-dominant basin on turntable-like
+        # motion; the extrapolated start carries the translation momentum
+        # that basin lacks. Both ride ONE (2, ...) batched solve.
+        starts = jnp.stack([jnp.take(params, i - 1, axis=0), p_pred])  # (2, 6)
+        pts2 = jnp.broadcast_to(pts3d, (2,) + pts3d.shape)
+        xy2 = jnp.broadcast_to(xy, (2,) + xy.shape)
+        m2 = jnp.broadcast_to(m, (2,) + m.shape)
+        cands = bundle_adjust.pose_only_refine(
+            starts, pts2, intr, xy2, m2, config=pose_cfg
+        )  # (2, 6)
+        inl2 = jax.vmap(lambda p: pnp_support(p, pts3d, xy, m, intr))(cands)
+        counts = jnp.sum(inl2, axis=1)
+        best = jnp.argmax(counts)
+        refined = jnp.take(cands, best, axis=0)
+        inl = jnp.take(inl2, best, axis=0)
+        n_m = jnp.sum(m)
+        n_inl = jnp.take(counts, best, axis=0)
+
+        # Outlier-trimmed re-solve on the winner, selected by predicate.
+        trimmed = bundle_adjust.pose_only_refine(
+            refined[None], pts3d[None], intr, xy[None], inl[None], config=pose_cfg
+        )[0]
+        refined = jnp.where((n_inl >= 6) & (n_inl < n_m), trimmed, refined)
+
+        params = params.at[i].set(refined)
+        known = known.at[i].set(True)
+
+        # In-chain BA over keyframes 0..i (same masked fixed-cap solve as
+        # the split version; the previous step's exit damping warm-starts
+        # this one).
+        pts3d, valid3d = triangulate_known(params, known, coords, obs_mask, intr)
+        _, ext4, ba_res = bundle_adjust.adjust_points(
+            projection.extrinsics_from_params(params),
+            intr,
+            pts3d,
+            obs_all,
+            fidx_all,
+            pidx_all,
+            mask=jnp.take(known, fidx_all, axis=0),
+            weights=jnp.take(valid3d, pidx_all, axis=0).astype(jnp.float32),
+            config=chain_cfg,
+            init_lambda=lam,
+        )
+        params = projection.params_from_extrinsics(ext4[:, :3, :])
+        lam = jnp.minimum(
+            ba_res.final_lambda * chain_cfg.lambda_down, chain_cfg.init_lambda
+        )
+        return params, known, lam, n_m, n_inl
+
+    return chain_step
+
+
 def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
     """Marker-free keyframe poses: essential bootstrap + PnP + in-chain BA.
 
@@ -1429,110 +1526,44 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
     # In-chain refinement solver: moderate iteration budget per step (the
     # warm start from the previous step's solution makes each solve short).
     chain_cfg = dataclasses.replace(SolverConfig(), ftol=1e-6, max_iters=30)
-    lam_chain = None
+
+    # The whole per-step computation (re-triangulate -> 2-start PnP ->
+    # trimmed re-solve -> masked warm-started BA) is ONE jitted program with
+    # a traced step index; the host loop only chains device handles. See
+    # _make_chain_step for why (2 link syncs/step eliminated; PnP start
+    # selection + trim predicate moved on device). The per-step gates and
+    # support counts come back in one fused fetch after the last step, so a
+    # doomed video fails with the same described errors, one step later.
+    chain_step = _make_chain_step(float(reproj_gate), pose_cfg, chain_cfg)
+    params_dev = jnp.asarray(params)
+    known_dev = jnp.asarray(known)
+    lam_dev = jnp.asarray(chain_cfg.init_lambda, jnp.float32)
+    gate_handles = []
     for i in range(2, n_kf):
-        pts3d, valid3d = triangulate_known(
-            jnp.asarray(params), jnp.asarray(known), coords, obs_mask, k
+        params_dev, known_dev, lam_dev, n_m, n_inl_i = chain_step(
+            params_dev, known_dev, lam_dev, jnp.asarray(i, jnp.int32),
+            coords, obs_mask, obs_all, fidx_all, pidx_all, k,
         )
-        m = jnp.asarray(valid3d) & obs_mask[:, i]
-        # PnP: MULTI-START pose-only LM — one batched solve from (a) the
-        # previous keyframe's pose and (b) the constant-velocity SE(3)
-        # extrapolation E_pred = (E_{i-1} E_{i-2}^{-1}) E_{i-1}; the winner
-        # is the start with more reprojection inliers. The previous-pose
-        # init alone biases LM toward a rotation-dominant basin on
-        # turntable-like motion (measured: camera centers stall after ~5
-        # keyframes while rotations keep tracking); the extrapolated start
-        # carries the translation momentum that basin lacks. Both starts
-        # ride ONE (2, ...) batched LM solve — same compiled program.
-        # The prediction is 4x4 host bookkeeping on host-resident params —
-        # scipy Rotation (the same exp/log maps as geometry.so3) keeps the
-        # three per-step device round-trips this used to dispatch off the
-        # chain's critical path.
-        from scipy.spatial.transform import Rotation as _Rot
-
-        def _ext_np(p6):
-            e = np.eye(4)
-            e[:3, :3] = _Rot.from_rotvec(p6[:3]).as_matrix()
-            e[:3, 3] = p6[3:]
-            return e
-
-        e_pred = (_ext_np(params[i - 1]) @ np.linalg.inv(_ext_np(params[i - 2]))) @ _ext_np(
-            params[i - 1]
-        )
-        p_pred = np.concatenate(
-            [_Rot.from_matrix(e_pred[:3, :3]).as_rotvec(), e_pred[:3, 3]]
-        ).astype(np.float32)
-        starts = jnp.asarray(np.stack([params[i - 1], p_pred]))  # (2, 6)
-        xy = coords[:, i][None]
-        xy2 = jnp.broadcast_to(coords[:, i], (2,) + coords[:, i].shape)
-        pts2 = jnp.broadcast_to(pts3d, (2,) + pts3d.shape)
-        m2 = jnp.broadcast_to(m, (2,) + m.shape)
-        cands = bundle_adjust.pose_only_refine(
-            starts, pts2, k, xy2, m2, config=pose_cfg
-        )  # (2, 6)
-        inl2 = jax.vmap(lambda p: pnp_support(p, pts3d, coords[:, i], m, k))(cands)
-        # ONE fused fetch per step for everything host control flow needs:
-        # the visible-track count (the failure gate — checked after the PnP
-        # dispatch it would have gated; a doomed dispatch is cheaper than a
-        # dedicated link round trip) and both starts' support counts.
-        n_m_arr, counts = jax.device_get((jnp.sum(m), jnp.sum(inl2, axis=1)))
-        n_m = int(n_m_arr)
-        if n_m < 6:
-            raise ValueError(
-                f"marker-free PnP chaining failed at keyframe {i}: only "
-                f"{n_m} triangulated tracks visible (< 6) — the video lacks "
-                "persistent trackable structure across keyframes"
+        gate_handles.append((n_m, n_inl_i))
+    if gate_handles:
+        n_ms, n_inls = jax.device_get(
+            (
+                jnp.stack([g[0] for g in gate_handles]),
+                jnp.stack([g[1] for g in gate_handles]),
             )
-        best = int(np.argmax(counts))
-        refined, inl = cands[best], inl2[best]
-        n_inl_i = int(counts[best])
-        if n_inl_i >= 6 and n_inl_i < n_m:
-            # Outlier-trimmed re-solve on the winner (robustness against
-            # the few mis-triangulated tracks that pass the residual gate).
-            refined = bundle_adjust.pose_only_refine(
-                refined[None], pts3d[None], k, xy, inl[None], config=pose_cfg
-            )[0]
-        support.append(max(n_inl_i, 0))
-        known[i] = True
-        # The refined pose stays ON DEVICE as the BA init — the post-BA
-        # fetch below refreshes the host copy of every pose including i, so
-        # materializing `refined` separately would be a wasted round trip.
-        params_dev = jnp.asarray(params).at[i].set(refined)
-
-        # In-chain BA over keyframes 0..i: re-triangulate against the
-        # updated pose set, then a masked warm-started solve (points +
-        # poses). Shapes are the fixed (f_cap, T, M) caps — one compile
-        # serves every step; the previous step's exit damping warm-starts
-        # the next (same cap policy as _solve_and_finish's incremental BA).
-        known_j = jnp.asarray(known)
-        pts3d, valid3d = triangulate_known(params_dev, known_j, coords, obs_mask, k)
-        _, ext4, ba_res = bundle_adjust.adjust_points(
-            projection.extrinsics_from_params(params_dev),
-            k,
-            pts3d,
-            obs_all,
-            fidx_all,
-            pidx_all,
-            mask=known_j[fidx_all],
-            weights=jnp.asarray(valid3d)[pidx_all].astype(jnp.float32),
-            config=chain_cfg,
-            init_lambda=lam_chain,
         )
-        # ONE fused post-BA fetch: the refreshed pose set (np.array copy —
-        # the next PnP step writes params[i] in place) and the exit damping.
-        params6, lam_exit = jax.device_get(
-            (projection.params_from_extrinsics(ext4[:, :3, :]), ba_res.final_lambda)
-        )
-        params = np.array(params6)
-        lam_chain = min(
-            float(lam_exit) * chain_cfg.lambda_down,
-            chain_cfg.init_lambda,
-        )
+        for step_off, n_m_v in enumerate(n_ms):
+            if int(n_m_v) < 6:
+                raise ValueError(
+                    f"marker-free PnP chaining failed at keyframe {step_off + 2}: "
+                    f"only {int(n_m_v)} triangulated tracks visible (< 6) — the "
+                    "video lacks persistent trackable structure across keyframes"
+                )
+        support.extend(max(int(x), 0) for x in n_inls)
 
     # Re-anchor the gauge to keyframe 0 (the refinement lets every camera
-    # float): ext_i' = ext_i o ext_0^{-1}.
-    params_j = jnp.asarray(params[:n_kf])
-    exts = projection.extrinsics_from_params(params_j)
+    # float): ext_i' = ext_i o ext_0^{-1}. params never leave the device.
+    exts = projection.extrinsics_from_params(params_dev[:n_kf])
     r0 = exts[0, :3, :3]
     t0 = exts[0, :3, 3]
     r_new = exts[:, :3, :3] @ r0.T
