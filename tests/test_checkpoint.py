@@ -1,5 +1,6 @@
 """Stage checkpoint/resume tests (SURVEY.md §5.4)."""
 
+import pytest
 import numpy as np
 
 from meatmodeler_tpu.utils.checkpoint import StageCheckpointer
@@ -19,6 +20,7 @@ class TestStageCheckpointer:
         c.save("whatever", x=np.ones(3))  # no-op, no crash
         assert not c.has("whatever")
 
+    @pytest.mark.slow
     def test_pipeline_resume_skips_pass1(self, tmp_path):
         """process() with a checkpoint dir resumes pass 1 from disk: the
         second run must not read the video at all."""

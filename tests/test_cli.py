@@ -37,6 +37,7 @@ def _run(argv):
     return buf.getvalue()
 
 
+@pytest.mark.slow
 def test_single_video_json(clips):
     paths, d = clips
     out = json.loads(_run([paths[0], "-o", str(d / "one"), "--json", *ARGS]))
@@ -44,6 +45,7 @@ def test_single_video_json(clips):
     assert out["ply"].endswith("oneCloud.ply")
 
 
+@pytest.mark.slow
 def test_batch_sequential(clips):
     paths, d = clips
     out = json.loads(
@@ -54,6 +56,7 @@ def test_batch_sequential(clips):
     assert out[1]["ply"].endswith("seq_1Cloud.ply")
 
 
+@pytest.mark.slow
 def test_batch_mesh(clips):
     paths, d = clips
     out = json.loads(_run([*paths, "-o", str(d / "mesh"), "--json", *ARGS]))

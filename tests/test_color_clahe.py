@@ -109,6 +109,7 @@ class TestClahe:
 class TestClahePallas:
     """The Pallas kernels must match the XLA oracle to float rounding."""
 
+    @pytest.mark.slow
     def test_interpret_matches_xla(self):
         from meatmodeler_tpu.ops.clahe import clahe_xla
         from meatmodeler_tpu.ops.clahe_pallas import clahe_pallas

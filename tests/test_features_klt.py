@@ -1,5 +1,6 @@
 """Shi-Tomasi + pyramidal KLT golden tests vs OpenCV (SURVEY.md §4)."""
 
+import pytest
 import cv2
 import numpy as np
 
@@ -65,6 +66,7 @@ class TestGoodFeatures:
 
 
 class TestLucasKanade:
+    @pytest.mark.slow
     def test_recovers_known_shift(self):
         img = textured_image(seed=3)
         dx, dy = 3.4, -2.2
@@ -86,6 +88,7 @@ class TestLucasKanade:
         err = np.abs(flow[good] - np.array([dx, dy]))
         assert np.median(err) < 0.1, np.median(err)
 
+    @pytest.mark.slow
     def test_matches_cv2_tracks(self):
         img = textured_image(seed=4)
         img2 = shift_image(img, 1.7, 2.9)

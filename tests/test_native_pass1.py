@@ -100,6 +100,7 @@ class TestHostScanParity:
         np.testing.assert_array_equal(f_one, np.concatenate([f_a, f_b]))
 
 
+@pytest.mark.slow
 class TestHostPipelineParity:
     def test_full_pipeline_matches_device_backend(self, clip):
         """End-to-end: identical keyframes -> identical downstream results

@@ -18,6 +18,7 @@ def odo_run():
     return res, gt_poses
 
 
+@pytest.mark.slow
 class TestOdometry:
     def test_tracks_survive(self, odo_run):
         res, _ = odo_run

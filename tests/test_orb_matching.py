@@ -5,6 +5,7 @@ end-to-end: detect+describe on an image pair and check the matches recover
 the known transform (the downstream-parity contract of SURVEY.md §7.3.2).
 """
 
+import pytest
 import cv2
 import numpy as np
 
@@ -99,6 +100,7 @@ class TestOrbEndToEnd:
         assert f.descriptors.dtype == np.int8
         assert np.asarray(f.mask).sum() > 20
 
+    @pytest.mark.slow
     def test_budget_larger_than_image(self):
         """Deep pyramid levels (and tiny warmup probes) can have fewer
         pixels than the level's feature budget; the static capacity must

@@ -114,6 +114,7 @@ class TestEndToEnd:
         assert result.metrics["counters"].get("board_detect_host_fallbacks", 0) == 0
 
 
+@pytest.mark.slow
 class TestFailurePaths:
     def test_no_board_raises_cleanly(self):
         """The reference loops forever / crashes on board-free video
@@ -134,6 +135,7 @@ class TestFailurePaths:
             process(frames, config=TEST_CONFIG)
 
 
+@pytest.mark.slow
 class TestMarkerFree:
     def test_board_probe_budget_stops_the_hunt(self, tmp_path):
         """Board-free clip with a small board_probe_frames: pass 1 must stop
@@ -195,6 +197,7 @@ class TestMarkerFree:
         assert result.reprojection_rmse < 2.0
 
 
+@pytest.mark.slow
 class TestPass1Downscale:
     def test_downscaled_pass1_reconstructs(self, synthetic_run):
         """pass1_downscale=2 (the >=720p auto path, which the CPU suite
@@ -219,6 +222,7 @@ class TestPass1Downscale:
         )
 
 
+@pytest.mark.slow
 class TestPass2Downscale:
     def test_halfres_keyframes_keep_geometry(self, synthetic_run):
         """pass2_downscale=2: keyframes ship and process at half resolution
@@ -244,6 +248,7 @@ class TestPass2Downscale:
         assert 0.65 * truth < ds.volume < 1.85 * truth, (ds.volume, truth)
 
 
+@pytest.mark.slow
 class TestCapacityGuard:
     def test_keyframe_overflow_raises_described_error(self):
         frames, _, _ = render_sequence(SCENE, 30, seed=0)
@@ -254,6 +259,7 @@ class TestCapacityGuard:
             process(frames, config=cfg)
 
 
+@pytest.mark.slow
 class TestGreyEnhanceMode:
     def test_grey_keyframe_path_reconstructs(self, synthetic_run):
         """pass2_enhance="grey" (keyframes shipped as 1-byte/px grey, CLAHE
@@ -270,6 +276,7 @@ class TestGreyEnhanceMode:
         )
 
 
+@pytest.mark.slow
 class TestNViewTriangulation:
     def test_nview_init_reconstructs(self, synthetic_run):
         """tracks.triangulation="nview" (masked DLT over ALL observations)
@@ -284,6 +291,7 @@ class TestNViewTriangulation:
         assert len(nv.points) > 0.7 * len(result.points)
 
 
+@pytest.mark.slow
 class TestIncrementalBA:
     def test_matches_global_ba(self, synthetic_run):
         """Incremental (per-keyframe-prefix) BA must land where the global

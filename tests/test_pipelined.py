@@ -36,6 +36,7 @@ def clips():
     return [render_sequence(SCENE, 24, seed=s)[0] for s in (0, 1, 2)]
 
 
+@pytest.mark.slow
 def test_pipelined_matches_sequential(clips):
     assert len(jax.devices()) >= 2  # conftest forces the 8-device CPU mesh
     piped = process_batch_pipelined(clips, config=CFG, devices=jax.devices()[:2])
@@ -46,12 +47,14 @@ def test_pipelined_matches_sequential(clips):
         np.testing.assert_allclose(res.intrinsics, seq.intrinsics, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipelined_single_device_fallback(clips):
     d = jax.devices()[0]
     piped = process_batch_pipelined(clips[:2], config=CFG, devices=(d, d))
     assert all(np.isfinite(r.reprojection_rmse) for r in piped)
 
 
+@pytest.mark.slow
 def test_pipelined_propagates_errors():
     # Pure-noise frames: board detection fails AND the marker-free
     # bootstrap finds no epipolar inliers, so the pipeline raises a
@@ -63,6 +66,7 @@ def test_pipelined_propagates_errors():
         process_batch_pipelined([boardless], config=CFG)
 
 
+@pytest.mark.slow
 def test_solve_stage_error_does_not_deadlock(clips, monkeypatch):
     """A solve-stage failure must re-raise promptly, not deadlock the
     bounded handoff queue while ingest keeps producing (queue_depth=1 with

@@ -40,6 +40,7 @@ def two_videos():
 
 
 class TestProcessBatch:
+    @pytest.mark.slow
     def test_sharded_matches_single(self, two_videos):
         videos, scenes = two_videos
         mesh = sharded.make_mesh(data=2, model=1)
@@ -55,6 +56,7 @@ class TestProcessBatch:
             # Calibration quality carried through.
             assert abs(res.intrinsics[0, 0] - scene.focal) / scene.focal < 0.05
 
+    @pytest.mark.slow
     def test_unpadded_batch_without_mesh(self, two_videos):
         videos, _ = two_videos
         batch = process_batch(videos[:1], config=CFG, mesh=None)

@@ -43,6 +43,7 @@ def make_ba_problem(seed, n_frames=4, n_points=64, n_obs=256):
     )
 
 
+@pytest.mark.slow
 class TestDataParallelBA:
     def test_batched_ba_matches_single(self, devices):
         mesh = sharded.make_mesh(data=8, model=1)
@@ -85,6 +86,7 @@ class TestDataParallelBA:
         assert np.all(np.asarray(result.rmse) < 1.0)
 
 
+@pytest.mark.slow
 class TestPointShardedBA:
     """ONE BA problem sharded by points over the mesh (SURVEY §5.7)."""
 
@@ -152,6 +154,7 @@ class TestPointShardedBA:
         np.testing.assert_allclose(np.asarray(pts_sh), np.asarray(pts_1), atol=5e-3)
 
 
+@pytest.mark.slow
 class TestTensorParallelMatching:
     def test_tp_matches_equal_single_device(self, devices):
         rng = np.random.default_rng(0)
@@ -182,6 +185,7 @@ class TestTensorParallelMatching:
         np.testing.assert_array_equal(np.asarray(idx_tp)[good_tp], ref_idx[good_tp])
 
 
+@pytest.mark.slow
 class TestShardedPreprocess:
     def test_matches_local(self, devices):
         rng = np.random.default_rng(1)

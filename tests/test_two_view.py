@@ -110,6 +110,7 @@ def two_view_run():
     return res, poses[0], poses[1]
 
 
+@pytest.mark.slow
 class TestTwoViewImages:
     def test_enough_inliers(self, two_view_run):
         res, _, _ = two_view_run

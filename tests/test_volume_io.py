@@ -1,5 +1,6 @@
 """Volume estimators on shapes with known volume + PLY/video IO round trips."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ class TestConvexHullVolume:
         truth = 4 / 3 * np.pi * 1.5**3
         assert abs(vol - truth) / truth < 0.08, (vol, truth)
 
+    @pytest.mark.slow
     def test_cube(self):
         rng = np.random.default_rng(1)
         # Dense samples on the cube surface (hull = the cube itself).

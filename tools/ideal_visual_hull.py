@@ -64,7 +64,18 @@ def ideal_visual_hull(scene: TurntableScene, n_views: int, res: int) -> float:
         a2 = np.sum(d_scaled * d_scaled, axis=1)
         b2 = 2.0 * np.sum(d_scaled * o_scaled, axis=1)
         c2 = np.sum(o_scaled * o_scaled) - 1.0
-        inside &= (b2 * b2 - 4.0 * a2 * c2) >= 0
+        disc = b2 * b2 - 4.0 * a2 * c2
+        # A real root alone tests the infinite LINE; the silhouette needs the
+        # ellipsoid on the FORWARD ray (s >= 0). With the camera outside the
+        # ellipsoid (c2 > 0) the two roots share their sign, so the larger
+        # root's sign decides: s+ = (-b2 + sqrt(disc)) / (2 a2) >= 0 iff
+        # -b2 + sqrt(disc) >= 0. (ADVICE r3: the default bench geometry
+        # never exercised the difference, but a --arc/--focal combination
+        # that looks AWAY from the item must not count the behind-camera
+        # intersection as a silhouette hit.)
+        hits = disc >= 0
+        hits &= (-b2 + np.sqrt(np.maximum(disc, 0.0))) >= 0
+        inside &= hits
     return float(inside.sum() * voxel_vol)
 
 
