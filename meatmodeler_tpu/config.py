@@ -226,14 +226,18 @@ class VolumeConfig:
     # Hull estimator knobs (volume.hull_and_carved_volume): support-function
     # direction count, and the order-statistic trim (skip the `trim` deepest
     # points per direction before taking the support, AFTER the visual-hull
-    # membership pruning of the support cloud). trim=9 with pruning lands at
-    # +5.4% on the 1080p bench scene and -3.9% on the 400x300 e2e scene (the
-    # two gated accuracy surfaces); the full scene-spread table is produced
-    # by tools/volume_validation.py — elongated items seen from a narrow arc
-    # remain the weak case (+~40%), the symmetric completion's known
-    # failure direction.
+    # membership pruning of the support cloud). Re-tuned in round 4 after
+    # the split_item_points precision fix (the earlier trim=9 was
+    # compensating for an on-device item split corrupted by reduced-
+    # precision matmuls): with the gated support cloud, trim=5 is the
+    # scene-spread optimum — worst-case |err| 15.5% across the validation
+    # scenes outside the flagged weak regime (e2e -6.9%, flat -ish +11%,
+    # wide-arc -15.4%, 1080p bench -14.3%; tools/volume_validation.py).
+    # Elongated items seen from a narrow arc remain the weak case (+~35%),
+    # the symmetric completion's known failure direction — now surfaced by
+    # ProcessResult.volume_confidence.
     hull_directions: int = 512
-    hull_trim: int = 9
+    hull_trim: int = 5
     # Volume-confidence regime thresholds (ProcessResult.volume_confidence):
     # the estimate is flagged LOW-confidence when the keyframe view arc is
     # below confidence_min_arc_deg AND the item cloud's elongation (sqrt of

@@ -2275,13 +2275,17 @@ def _estimate_volume(
         )
         pmask = jnp.where(jnp.sum(certain) >= 32, certain, pmask)
     item_mask = volume_mod.split_item_points(pts_j, pmask, use_plane=use_plane)
-    # The hull's trimmed support gets the UNGATED item cloud: the sigma/
-    # parallax gates also reject true rim points, and stacking them on the
-    # support digs it into the surface (measured -20% at the e2e scene).
-    # The estimator's own robustness against the mis-triangulated tail is
-    # the silhouette-membership pruning + order-statistic trim inside
-    # hull_and_carved_volume; the gates still serve the carve silhouettes.
-    support_mask = volume_mod.split_item_points(pts_j, valid, use_plane=use_plane)
+    # The hull's trimmed support uses the SAME gated item cloud as the carve
+    # silhouettes. (Round 3 shipped an ungated support with a deep trim=9 —
+    # both choices turned out to be compensations for an on-device item
+    # split corrupted by reduced-precision matmuls, see split_item_points.
+    # Re-measured on clean numerics across the tools/volume_validation.py
+    # scene spread, gated support + trim=5 is the worst-case optimum: the
+    # sigma/parallax gates remove exactly the low-parallax depth smears
+    # that slip past the silhouette pruning when the view arc is narrow —
+    # rays near-parallel across views keep a smear inside every
+    # silhouette, so the membership vote cannot see it.)
+    support_mask = item_mask
     proj_new = projection.projection_from_extrinsic(intrinsics, ext4[:, :3, :])
     # One carve serves both estimators: the hull is (robust symmetric
     # completion of the seen surface) ∩ (visual hull) — see

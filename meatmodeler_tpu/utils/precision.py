@@ -27,10 +27,16 @@ programs must keep compiling at DEFAULT).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 
 __all__ = ["matmul_highp"]
+
+# Debug escape hatch: MEATMODELER_NO_HIGHP=1 makes the wrapper a no-op, so
+# a numeric difference can be A/B'd against the backend's default matmul
+# precision without touching call sites. Read once at import.
+_DISABLED = os.environ.get("MEATMODELER_NO_HIGHP", "") == "1"
 
 
 def matmul_highp(fn):
@@ -39,6 +45,8 @@ def matmul_highp(fn):
     The context is entered whenever the Python body executes, which for
     jitted callers is exactly trace time — nested application is harmless.
     """
+    if _DISABLED:
+        return fn
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):

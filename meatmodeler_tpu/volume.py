@@ -32,6 +32,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from meatmodeler_tpu.utils.precision import matmul_highp
 import numpy as np
 
 __all__ = [
@@ -43,6 +45,7 @@ __all__ = [
 
 
 @partial(jax.jit, static_argnames=("plane_margin", "knn", "use_plane"))
+@matmul_highp
 def split_item_points(
     points: jax.Array,
     mask: jax.Array,
@@ -73,6 +76,13 @@ def split_item_points(
     # --- k-NN density gate ---
     big = jnp.float32(1e9)
     sq = jnp.sum(points * points, axis=1)
+    # This expansion is catastrophically cancellation-prone: |p|^2 ~ 600 at
+    # the bench scene while k-NN distances^2 ~ 0.01-0.25, so the TPU's
+    # default reduced-precision matmul (bf16 mantissas, ~0.4% relative)
+    # buries the density gate in +-2.5 of noise — measured: the on-device
+    # split classified 1114/2114 item points vs 1961 on CPU, chopping the
+    # item's rim and the hull with it (-45% volume). matmul_highp on this
+    # function pins the product to full f32.
     d2 = sq[:, None] + sq[None, :] - 2.0 * (points @ points.T)
     d2 = jnp.where(keep[None, :], d2, big)  # only candidate neighbours count
     d2 = d2 + jnp.where(jnp.eye(points.shape[0], dtype=bool), big, 0.0)
@@ -106,6 +116,7 @@ def _fibonacci_directions(n: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("resolution", "num_directions", "trim"))
+@matmul_highp
 def convex_hull_volume(
     points: jax.Array,
     mask: jax.Array,
@@ -192,6 +203,7 @@ def erode_sep(g: jax.Array, r: int) -> jax.Array:
     )
 
 
+@matmul_highp
 def _carve_occupancy(
     points: jax.Array,
     mask: jax.Array,
@@ -295,6 +307,7 @@ def _carve_occupancy(
     return inside, centers, voxel_vol, sils
 
 
+@matmul_highp
 def _points_in_silhouettes(
     points, projections, proj_mask, sils, grid_step, vote_frac
 ):
@@ -335,6 +348,7 @@ def _points_in_silhouettes(
         "vote_frac",
     ),
 )
+@matmul_highp
 def carved_volume(
     points: jax.Array,
     mask: jax.Array,
@@ -376,6 +390,7 @@ def carved_volume(
         "grid_step", "close_frac", "vote_frac",
     ),
 )
+@matmul_highp
 def hull_and_carved_volume(
     points: jax.Array,
     mask: jax.Array,
@@ -418,11 +433,13 @@ def hull_and_carved_volume(
     points per direction) steps past the residual tail of mis-triangulated
     survivors that inflate a raw max cubically. Accuracy is validated
     across a spread of synthetic scenes by ``tools/volume_validation.py``
-    (round-3 table: +5.4% at the 1080p bench scene and -3.9% at the
-    400x300 e2e scene with the shipped pruning + trim=9; wider/denser
-    scenes range -12..+11%, and an elongated item from a narrow 50-degree
-    arc remains the known weak case at +~40% — the symmetric completion
-    cannot know the unseen long-axis extent). The symmetry prior is weaker
+    (round-4 table, after the split_item_points precision fix: with the
+    gated support + trim=5 the shipped config spans -15..+11% across the
+    non-flagged scenes — e2e -6.9%, flat item +11%, 80-degree arc -15.4%,
+    1080p bench -14.3% — and an elongated item from a narrow 50-degree
+    arc remains the known weak case at +~35%, surfaced to callers via
+    ``ProcessResult.volume_confidence``; the symmetric completion cannot
+    know the unseen long-axis extent). The symmetry prior is weaker
     than it sounds: overshoot in any direction the views constrain is
     carved away by the intersection, so it only fills the genuinely
     unobserved cone.
