@@ -469,3 +469,46 @@ class TestTinyEndToEndOnDevice:
         assert result.reprojection_rmse < 2.0
         assert len(result.points) > 30
         assert abs(result.intrinsics[0, 0] - scene.focal) / scene.focal < 0.08
+
+
+class TestVolumeSplitOnDevice:
+    def test_split_item_points_matches_cpu(self, tpu):
+        """Device item split == CPU item split on a realistic-magnitude
+        cloud. Regression for the round-4 bug class: the k-NN density
+        gate's |p|^2-expansion is catastrophically cancellation-prone, and
+        the TPU's default reduced-precision matmul corrupted the split
+        (1114 vs 1961 of 2114 points on the bench reconstruction, hull
+        -45%) until split_item_points was pinned to HIGHEST precision."""
+        import jax
+        import jax.numpy as jnp
+
+        from meatmodeler_tpu import volume
+
+        rng = np.random.default_rng(11)
+        # Item surface ~ the bench scene's magnitudes: centroid ~ (-5, -2, 3),
+        # |p| ~ 6-25, k-NN spacing ~ 0.05-0.3 — the regime where bf16
+        # matmul noise (~0.4% relative) swamps true neighbour distances.
+        v = rng.normal(size=(1200, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        item = (v * np.array([2.0, 1.5, 1.8]) + np.array([-5.2, -2.2, 3.0]))
+        sheet = np.column_stack([
+            rng.uniform(-8, 10, 700), np.zeros(700), rng.uniform(-4, 26, 700),
+        ])
+        outliers = rng.normal(size=(20, 3)) * 8 + np.array([-5.2, -6.0, 3.0])
+        pts = np.concatenate([item, sheet, outliers]).astype(np.float32)
+        mask = np.ones(len(pts), bool)
+
+        dev = np.asarray(volume.split_item_points(jnp.asarray(pts), jnp.asarray(mask)))
+        cpu_dev = jax.devices("cpu")[0]
+        with jax.default_device(cpu_dev):
+            cpu = np.asarray(
+                volume.split_item_points(
+                    jax.device_put(pts, cpu_dev), jax.device_put(mask, cpu_dev)
+                )
+            )
+        # The gates sit on medians/MADs, so a handful of borderline flips
+        # are legitimate float noise; wholesale divergence is the bug.
+        agree = (dev == cpu).mean()
+        assert agree > 0.99, f"device/CPU split agreement {agree:.3f}"
+        assert dev[:1200].mean() > 0.95  # item kept
+        assert dev[1200:1900].mean() < 0.05  # sheet rejected
