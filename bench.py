@@ -658,9 +658,14 @@ def run_markerless(frames, gt_poses, scene, focal: float = 0.0) -> dict:
 
     pipeline._solve_and_finish = hook
     try:
-        t0 = time.perf_counter()
-        result = process(frames, path=str(CACHE / "bench_mf"), config=config)
-        elapsed = time.perf_counter() - t0
+        # Best-of-2 warm runs: the tunneled link burst-throttles
+        # unpredictably (observed 5.4 s and 8.5 s for the identical program
+        # in one session) — same policy as the headline's warm samples.
+        elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            result = process(frames, path=str(CACHE / "bench_mf"), config=config)
+            elapsed = min(elapsed, time.perf_counter() - t0)
     finally:
         pipeline._solve_and_finish = orig_solve
     counters = result.metrics["counters"]
@@ -829,7 +834,10 @@ def run_4k_shape_check(config) -> dict:
     content statistics, zero extra render cost) through the full pipeline."""
     from meatmodeler_tpu.pipeline import process
 
-    frames = load_or_render_clip()[:24]
+    # 60 frames ~ 4 keyframe intervals at the bench selection density — a
+    # 24-frame probe only ever selected 1-2 keyframes and failed the >= 3
+    # floor regardless of resolution handling.
+    frames = load_or_render_clip()[:60]
     f4k = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
     # Doubled downscales: the pixel-doubled frames carry the SAME content, so
     # keeping the pass-1/pass-2 working resolutions identical to the 1080p
@@ -840,6 +848,14 @@ def run_4k_shape_check(config) -> dict:
         config,
         pass1_downscale=config.pass1_downscale * 2,
         pass2_downscale=config.pass2_downscale * 2,
+        # The keyframe rule accumulates LK patch errors at the WORKING
+        # resolution (identical here by construction) but thresholds against
+        # threshold * FULL width (the reference's rule, processor.py:100) —
+        # at doubled full width the same threshold is half as sensitive, so
+        # halve it to keep the selection identical to the 1080p run.
+        keyframe=dataclasses.replace(
+            config.keyframe, threshold=config.keyframe.threshold / 2
+        ),
     )
     t0 = time.perf_counter()
     result = process(f4k, path=str(CACHE / "bench_4k"), config=cfg4k)

@@ -249,6 +249,11 @@ class VolumeConfig:
     # gated accuracy scenes (wide arcs / rounder items).
     confidence_min_arc_deg: float = 100.0
     confidence_max_elongation: float = 1.6
+    # ... and flagged LOW when the item cloud is too sparse for the trimmed
+    # support to read the surface (measured: ~300-point clouds from
+    # 60-frame clips underread 55-71% where the 300-frame clip of the same
+    # scene reads -14%).
+    confidence_min_item_points: int = 500
 
 
 @dataclasses.dataclass(frozen=True)

@@ -2187,6 +2187,19 @@ def _solve_and_finish(
             "the symmetric-completion hull cannot observe the item's far "
             "long-axis extent from this arc (validated weak case: ~+40%)"
         )
+    elif 0 < n_item < vc.confidence_min_item_points:
+        # Sparse-cloud regime: the trimmed support needs a dense sampling of
+        # the seen surface; a few-hundred-point item (short clip, few
+        # keyframes) underreads it badly (measured: 60-frame 1080p batch
+        # clips with ~300-point clouds underread 55-71% where the 300-frame
+        # clip of the same scene reads -14%).
+        low = True
+        reason = (
+            f"item cloud has only {n_item} points "
+            f"(< {vc.confidence_min_item_points}): the trimmed support "
+            "underreads a sparsely sampled surface — use a longer clip or "
+            "denser features"
+        )
     volume_confidence = {
         "low_confidence": bool(low),
         "view_arc_deg": round(arc_deg, 2),
