@@ -1525,7 +1525,7 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
     )
     # In-chain refinement solver: moderate iteration budget per step (the
     # warm start from the previous step's solution makes each solve short).
-    chain_cfg = dataclasses.replace(SolverConfig(), ftol=1e-6, max_iters=30)
+    chain_cfg = dataclasses.replace(SolverConfig(), ftol=1e-6, max_iters=12)
 
     # The whole per-step computation (re-triangulate -> 2-start PnP ->
     # trimmed re-solve -> masked warm-started BA) is ONE jitted program with
