@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from meatmodeler_tpu.utils.precision import matmul_highp
 
 from meatmodeler_tpu.geometry import so3
-from meatmodeler_tpu.geometry.triangulation import triangulate_pairs
 
 __all__ = [
     "RansacResult",
@@ -581,7 +580,6 @@ def estimate_relative_pose(
         msac_r = jnp.sum(jnp.where(mask, jnp.minimum(rmax, rthr2), 0.0))
         return jnp.sum(good), msac_r, rvd, tvd, e, res, inl
 
-    eye34_n = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
     rthr2 = 4.0 * thr2  # reprojection gate: 2x the epipolar gate, squared
     n_good, msacs, rvds, tvds, es_ref, ress, inls = jax.vmap(score)(rvs, tvs)
     # Most triangulated-and-reprojected inliers win; truncated reprojection
