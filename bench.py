@@ -785,6 +785,13 @@ def load_or_render_batch_clips(n=BATCH_VIDEOS):
 
 
 def _hbm_peak_bytes() -> int | None:
+    """PROCESS-LIFETIME peak HBM (when the backend reports memory_stats).
+
+    There is no per-section reset API, so a section's number is
+    max(everything run so far in this process) — an upper bound on the
+    section's own peak, and the batch/4K numbers are not independent of the
+    earlier headline runs. Read it as "the whole bench fits in this much
+    HBM", not as a per-section footprint."""
     import jax
 
     try:

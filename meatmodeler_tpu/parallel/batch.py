@@ -28,6 +28,7 @@ from meatmodeler_tpu.geometry import projection
 from meatmodeler_tpu.io import ply as ply_mod
 from meatmodeler_tpu.parallel import sharded
 from meatmodeler_tpu.pipeline import (
+    _volume_confidence,
     ProcessResult,
     _estimate_volume,
     _reconstruct_to_ba,
@@ -192,6 +193,13 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
         else:
             vol_hull = vol_carve = float("nan")
         metrics.count("item_points", n_item)
+        # Same regime check as the single-video path — the sparse-cloud
+        # criterion was MEASURED on exactly this shape of input (short batch
+        # clips with few-hundred-point clouds), so batch callers must see it.
+        volume_confidence = _volume_confidence(
+            float(fused[4]), float(fused[5]), n_item, config
+        )
+        metrics.count("volume_low_confidence", volume_confidence["low_confidence"])
 
         ply_path = None
         if path is not None:
@@ -208,6 +216,7 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
                 ply_path=ply_path,
                 reprojection_rmse=rmse,
                 metrics=metrics.as_dict(),
+                volume_confidence=volume_confidence,
             )
         )
     return out

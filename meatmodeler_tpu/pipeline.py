@@ -1488,7 +1488,6 @@ def _chain_keyframe_poses(store, intrinsics, n_kf, reproj_gate: float = 4.0):
     obs_mask = jnp.asarray(store.obs_mask)
     obs_mask_np = np.asarray(store.obs_mask)
     f_cap = coords.shape[1]
-    triangulate_known, pnp_support = _make_markerfree_stages(float(reproj_gate))
 
     # Global observation arrays for the in-chain refinement, built ONCE:
     # every observed (track, keyframe) cell, fixed shape across chain steps
@@ -2043,6 +2042,48 @@ def process(
         return _solve_and_finish(pre, config, metrics, ckpt, path)
 
 
+def _volume_confidence(arc_deg: float, elong: float, n_item: int, config) -> Dict[str, Any]:
+    """The volume-estimate regime check shared by ``process`` and
+    ``parallel.batch.process_batch`` (VERDICT r3 next #9): LOW confidence
+    when the (view arc, item elongation) pair sits in the estimator's
+    validated weak regime, or when the item cloud is too sparse for the
+    trimmed support to read the surface. Thresholds in VolumeConfig."""
+    vc = config.volume
+    low = (
+        n_item >= 8
+        and arc_deg < vc.confidence_min_arc_deg
+        and elong > vc.confidence_max_elongation
+    )
+    reason = ""
+    if low:
+        reason = (
+            f"view arc {arc_deg:.0f} deg < {vc.confidence_min_arc_deg:.0f} and "
+            f"item elongation {elong:.2f} > {vc.confidence_max_elongation:.2f}: "
+            "the symmetric-completion hull cannot observe the item's far "
+            "long-axis extent from this arc (validated weak case: ~+40%)"
+        )
+    elif 0 < n_item < vc.confidence_min_item_points:
+        # Sparse-cloud regime: the trimmed support needs a dense sampling of
+        # the seen surface; a few-hundred-point item (short clip, few
+        # keyframes) underreads it badly (measured: 60-frame 1080p batch
+        # clips with ~300-point clouds underread 55-71% where the 300-frame
+        # clip of the same scene reads -14%).
+        low = True
+        reason = (
+            f"item cloud has only {n_item} points "
+            f"(< {vc.confidence_min_item_points}): the trimmed support "
+            "underreads a sparsely sampled surface — use a longer clip or "
+            "denser features"
+        )
+    return {
+        "low_confidence": bool(low),
+        "view_arc_deg": round(arc_deg, 2),
+        "elongation": round(elong, 3),
+        "reason": reason,
+        "n_item_points": n_item,
+    }
+
+
 def _solve_and_finish(
     pre: PreBA,
     config: PipelineConfig,
@@ -2172,44 +2213,12 @@ def _solve_and_finish(
     # callers know when the estimate is in that regime instead of silently
     # trusting it; thresholds in VolumeConfig, gated against
     # tools/volume_validation.py's scene spread.
-    arc_deg, elong = float(fused[4]), float(fused[5])
-    vc = config.volume
-    low = (
-        n_item >= 8
-        and arc_deg < vc.confidence_min_arc_deg
-        and elong > vc.confidence_max_elongation
+    volume_confidence = _volume_confidence(
+        float(fused[4]), float(fused[5]), n_item, config
     )
-    reason = ""
-    if low:
-        reason = (
-            f"view arc {arc_deg:.0f} deg < {vc.confidence_min_arc_deg:.0f} and "
-            f"item elongation {elong:.2f} > {vc.confidence_max_elongation:.2f}: "
-            "the symmetric-completion hull cannot observe the item's far "
-            "long-axis extent from this arc (validated weak case: ~+40%)"
-        )
-    elif 0 < n_item < vc.confidence_min_item_points:
-        # Sparse-cloud regime: the trimmed support needs a dense sampling of
-        # the seen surface; a few-hundred-point item (short clip, few
-        # keyframes) underreads it badly (measured: 60-frame 1080p batch
-        # clips with ~300-point clouds underread 55-71% where the 300-frame
-        # clip of the same scene reads -14%).
-        low = True
-        reason = (
-            f"item cloud has only {n_item} points "
-            f"(< {vc.confidence_min_item_points}): the trimmed support "
-            "underreads a sparsely sampled surface — use a longer clip or "
-            "denser features"
-        )
-    volume_confidence = {
-        "low_confidence": bool(low),
-        "view_arc_deg": round(arc_deg, 2),
-        "elongation": round(elong, 3),
-        "reason": reason,
-        "n_item_points": n_item,
-    }
-    metrics.count("volume_low_confidence", bool(low))
-    metrics.count("volume_view_arc_deg", round(arc_deg, 2))
-    metrics.count("volume_elongation", round(elong, 3))
+    metrics.count("volume_low_confidence", volume_confidence["low_confidence"])
+    metrics.count("volume_view_arc_deg", volume_confidence["view_arc_deg"])
+    metrics.count("volume_elongation", volume_confidence["elongation"])
 
     return ProcessResult(
         points=new_pts_np,

@@ -62,3 +62,43 @@ class TestProcessBatch:
         batch = process_batch(videos[:1], config=CFG, mesh=None)
         assert len(batch) == 1
         assert np.isfinite(batch[0].reprojection_rmse)
+
+
+def test_smoke_threaded_front_end_and_confidence():
+    """Quick-suite smoke for the batch front-end (thread-pool overlap, fused
+    two-batch readback) and the per-video volume_confidence: tiny clips so
+    this stays in the default '-m not slow' pass while the heavier
+    parity-vs-single tests above remain slow-marked."""
+    tiny = dataclasses.replace(
+        CFG,
+        keyframe=dataclasses.replace(
+            KeyframeConfig(), max_corners=128, threshold=0.015
+        ),
+        orb=OrbConfig(num_features=256, num_levels=2),
+        matcher=MatcherConfig(max_matches=128),
+        tracks=TrackConfig(max_tracks=512, max_keyframes=16),
+        volume=VolumeConfig(voxel_resolution=24),
+        frame_chunk=4,
+    )
+    scene = TurntableScene(image_size=(160, 120), focal=170.0, noise_sigma=0.5)
+    clips, corners = [], []
+    for s in (0, 1):
+        f, _, c = render_sequence(scene, 10, seed=s)
+        clips.append(f)
+        corners.append(c)
+    res = process_batch(clips, config=tiny, known_corners=corners)
+    assert len(res) == 2
+    for r in res:
+        assert np.isfinite(r.reprojection_rmse) and r.reprojection_rmse < 2.0
+        assert len(r.points) > 10
+        # The regime check must be populated for batch callers (these tiny
+        # clouds land in the sparse regime by construction).
+        assert r.volume_confidence is not None
+        assert set(r.volume_confidence) >= {
+            "low_confidence", "view_arc_deg", "elongation", "reason",
+            "n_item_points",
+        }
+        # Tiny clips land in a weak regime by construction — either the
+        # narrow-arc/elongation rule or the sparse-cloud rule fires.
+        assert r.volume_confidence["low_confidence"] is True
+        assert r.volume_confidence["reason"]
