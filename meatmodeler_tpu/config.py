@@ -43,6 +43,18 @@ class KeyframeConfig:
     # keyframe. `process` passes 0.1 (processor.py:365); the function default
     # was 0.2 (processor.py:62).
     threshold: float = 0.1
+    # Resolution-invariant alternative (VERDICT r4 #10): when > 0, the rule
+    # is `accumulated_error > threshold_abs` — a constant intensity budget,
+    # independent of both the full resolution and the pass-1 downscale.
+    # The reference's `err > threshold * full_width` rule (processor.py:100)
+    # couples selection density to the frame width even though the
+    # accumulated LK intensity residual is (approximately) resolution-
+    # independent, so every (resolution, downscale) pair needed its own
+    # re-tuned `threshold`; one `threshold_abs` serves them all. The
+    # reference-compat semantics stay the default (0 = off). Equivalence
+    # anchor: threshold_abs = threshold * width_of_the_calibration_clip
+    # (e.g. the 1080p rule threshold=0.05 becomes threshold_abs=96).
+    threshold_abs: float = 0.0
     # Pyramidal LK parameters (cv2 calcOpticalFlowPyrLK defaults, since the
     # reference's driver that chose lk_params was never committed; iteration
     # count trimmed — the eps freeze converges in < 10 steps in practice).

@@ -115,8 +115,14 @@ def log(rot: jax.Array) -> jax.Array:
     # into every gradient through log (same trap as rotate_points).
     sin_sq = jnp.sum(skew * skew, axis=-1)
     small = (sin_sq < _SMALL_ANGLE**2) & (cos_theta > 0.0)
-    sin_norm = jnp.sqrt(jnp.where(small, 1.0, sin_sq))
-    theta = jnp.arctan2(jnp.where(small, 0.0, sin_norm), cos_theta)
+    # The pi-side analog of `small`: at theta exactly pi (e.g. an axis-
+    # aligned half turn, R = diag(1,-1,-1)) sin_sq is exactly 0 with
+    # cos_theta < 0, and an unguarded sqrt(0) would NaN gradients through
+    # theta just like the identity case — pin sin to 0 there (theta comes
+    # out exactly pi; |theta error| <= 1e-6 over the pinned band).
+    sin_zero = sin_sq < _SMALL_ANGLE**2
+    sin_norm = jnp.sqrt(jnp.where(sin_zero, 1.0, sin_sq))
+    theta = jnp.arctan2(jnp.where(sin_zero, 0.0, sin_norm), cos_theta)
     # The diagonal-based axis extraction below is exact for ALL theta (the
     # diag of R is cos + (1-cos) a_i^2 with no sin term), so switch to it
     # well before sin(th) gets small: the generic skew formula amplifies
@@ -141,11 +147,17 @@ def log(rot: jax.Array) -> jax.Array:
     # B = (R - cos*I) / (1 - cos) = aa^T  (exact at th = pi).
     one_minus_cos = jnp.where(near_pi, 1.0 - cos_theta, 1.0)
     axis_sq = jnp.clip((diag - cos_theta[..., None]) / one_minus_cos[..., None], 0.0, 1.0)
-    # Guard inside the sqrt again: away from the near-pi branch axis_sq
-    # clips to exactly 0 (e.g. at the identity), and sqrt(0)'s infinite
-    # derivative would NaN any gradient through log even though this branch
-    # is untaken there.
-    axis_abs = jnp.sqrt(jnp.where(near_pi[..., None], axis_sq, 1.0))
+    # Guard inside the sqrt again — PER COMPONENT, not per row: away from
+    # the near-pi branch axis_sq clips to exactly 0 (the identity), and
+    # INSIDE the taken branch an axis-aligned pi rotation (R = diag(1,-1,-1))
+    # still has two components exactly 0 — either way sqrt(0)'s infinite
+    # derivative would NaN every gradient through log. Components at (or
+    # clipped to) 0 are pinned to 0 OUTSIDE the sqrt, mirroring the
+    # rotate_points pattern.
+    axis_ok = near_pi[..., None] & (axis_sq > _SMALL_ANGLE**2)
+    axis_abs = jnp.where(
+        axis_ok, jnp.sqrt(jnp.where(axis_ok, axis_sq, 1.0)), 0.0
+    )
     # Fix signs from the off-diagonal symmetric part: (R+R^T)/2 off-diags are
     # axis_i*axis_j*(1-cos). Pick the sign relative to the largest component.
     # Sign recovery: with the largest component taken positive, the minor

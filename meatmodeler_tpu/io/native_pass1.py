@@ -80,8 +80,12 @@ class HostPass1Scanner:
         self._mask = np.zeros(kf.max_corners, np.uint8)
         self._acc = np.zeros(1, np.float32)
         # The keyframe rule thresholds against the FULL-resolution width
-        # (processor.py:100 via pipeline's width_scale handling).
-        self._threshold_px = float(kf.threshold * full_width)
+        # (processor.py:100 via pipeline's width_scale handling) — or, when
+        # KeyframeConfig.threshold_abs is set, against that constant
+        # intensity budget regardless of resolution or downscale.
+        self._threshold_px = float(
+            kf.threshold_abs if kf.threshold_abs > 0 else kf.threshold * full_width
+        )
         self.initialized = False
 
     def scan(self, greys: np.ndarray, bootstrap_at: int = -1):

@@ -157,7 +157,10 @@ def _make_keyframe_scan(config: PipelineConfig):
         # independent) against threshold * width (processor.py:100). When
         # pass 1 runs on downscaled frames, the threshold must use the
         # FULL-resolution width or keyframes fire ~scale-times too often.
+        # threshold_abs > 0 replaces the width coupling entirely with a
+        # constant intensity budget (KeyframeConfig.threshold_abs).
         width = greys.shape[2] * width_scale
+        thresh = kf.threshold_abs if kf.threshold_abs > 0 else kf.threshold * width
 
         def step(carry, grey):
             prev_pyr, pts, mask, acc = carry
@@ -179,7 +182,7 @@ def _make_keyframe_scan(config: PipelineConfig):
             n_valid = jnp.maximum(jnp.sum(mask), 1)
             acc = acc + jnp.sum(jnp.where(mask, err, 0.0)) / n_valid
 
-            is_kf = acc > kf.threshold * width
+            is_kf = acc > thresh
 
             # On keyframe: reset error and reseed with Shi-Tomasi exactly at
             # the keyframe, matching the reference (processor.py:104-106).
@@ -2062,7 +2065,10 @@ def _volume_confidence(arc_deg: float, elong: float, n_item: int, config) -> Dic
             "the symmetric-completion hull cannot observe the item's far "
             "long-axis extent from this arc (validated weak case: ~+40%)"
         )
-    elif 0 < n_item < vc.confidence_min_item_points:
+    elif n_item < vc.confidence_min_item_points:
+        # No lower bound on n_item: an (near-)empty item cloud is the LEAST
+        # reliable outcome of all (the volume comes out NaN below 8 points)
+        # and must carry the flag too, not dodge it (ADVICE r4).
         # Sparse-cloud regime: the trimmed support needs a dense sampling of
         # the seen surface; a few-hundred-point item (short clip, few
         # keyframes) underreads it badly (measured: 60-frame 1080p batch

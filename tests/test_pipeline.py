@@ -304,3 +304,40 @@ class TestIncrementalBA:
         assert len(inc.points) == len(result.points)
         steps = inc.metrics["counters"]["ba_rmse_px_steps"]
         assert len(steps) >= 2 and np.isfinite(steps).all()
+
+
+class TestKeyframeRuleScaleInvariance:
+    """KeyframeConfig.threshold_abs (VERDICT r4 #10): one intensity budget,
+    any (resolution, downscale) — no per-config threshold compensation."""
+
+    def test_pixel_doubled_selection_identical(self):
+        """A pixel-doubled clip scanned at a doubled downscale sees the SAME
+        working frames, so with threshold_abs the selection must be BIT-
+        IDENTICAL to the original clip's — the exact shape of bench.py's 4K
+        probe, which previously had to halve `threshold` to compensate for
+        the reference rule's `threshold * full_width` coupling
+        (processor.py:100)."""
+        import jax.numpy as jnp
+
+        from meatmodeler_tpu.pipeline import _clahe_grey_batch, _make_keyframe_scan
+
+        frames, _, _ = render_sequence(SCENE, 12, seed=0, color=False)
+        cfg = dataclasses.replace(
+            TEST_CONFIG,
+            keyframe=dataclasses.replace(
+                TEST_CONFIG.keyframe, threshold_abs=0.02 * SCENE.image_size[0]
+            ),
+        )
+
+        def scan_flags(greys, width_scale):
+            init_carry, scan_chunk = _make_keyframe_scan(cfg)
+            g = _clahe_grey_batch(jnp.asarray(greys))
+            carry = init_carry(g[0])
+            _, flags = scan_chunk(carry, g[1:], width_scale=width_scale)
+            return np.asarray(flags)
+
+        base = scan_flags(frames, 1)
+        doubled = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
+        redec = scan_flags(doubled[:, ::2, ::2], 2)
+        assert base.sum() >= 2, "scene must select some keyframes"
+        np.testing.assert_array_equal(base, redec)

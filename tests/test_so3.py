@@ -127,3 +127,22 @@ class TestGradientsAtIdentity:
                 - np.asarray(uv_of_cam(jnp.asarray(-e)))
             ) / (2 * eps)
             np.testing.assert_allclose(g[:, j], fd, rtol=1e-2, atol=1e-2)
+
+    def test_log_jacobian_finite_at_axis_aligned_pi(self):
+        """Axis-aligned half turns (R = diag(1,-1,-1) etc.) sit INSIDE the
+        near-pi branch with two axis components exactly 0 and sin(theta)
+        exactly 0 — both sqrt(0) sites must be guarded per component or the
+        gradient NaNs (ADVICE r4; the identity-rotation fix alone left this
+        case open)."""
+        import jax
+
+        for rots in (
+            np.diag([1.0, -1.0, -1.0]),
+            np.diag([-1.0, 1.0, -1.0]),
+            np.diag([-1.0, -1.0, 1.0]),
+        ):
+            g = np.asarray(jax.jacobian(so3.log)(jnp.asarray(rots)))
+            assert np.isfinite(g).all(), rots
+            # The value itself must still be the pi rotation about the axis.
+            rv = np.asarray(so3.log(jnp.asarray(rots)))
+            np.testing.assert_allclose(np.linalg.norm(rv), np.pi, atol=1e-5)
