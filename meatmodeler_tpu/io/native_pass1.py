@@ -32,10 +32,10 @@ def _configure(lib, ct):
         u8p, ct.c_long, ct.c_long, ct.c_long,  # greys, t, h, w
         ct.c_long,  # bootstrap_at
         ct.c_float, ct.c_int, ct.c_int,  # clahe clip, tiles_y, tiles_x
-        f32p, f32p, u8p, f32p,  # state: prev, pts, mask, acc
+        f32p, f32p, u8p, f32p, f32p,  # state: prev, pts, mask, acc, acc_flow
         ct.c_long, ct.c_float, ct.c_int, ct.c_int,  # K, quality, min_dist, block
         ct.c_int, ct.c_int, ct.c_int, ct.c_float,  # win, levels, iters, eps
-        ct.c_float,  # threshold_px
+        ct.c_float, ct.c_float,  # threshold_px, flow_threshold_px
         u8p, f32p,  # kf_flags, enhanced_out
     ]
 
@@ -79,6 +79,7 @@ class HostPass1Scanner:
         self._pts = np.zeros((kf.max_corners, 2), np.float32)
         self._mask = np.zeros(kf.max_corners, np.uint8)
         self._acc = np.zeros(1, np.float32)
+        self._acc_flow = np.zeros(1, np.float32)
         # The keyframe rule thresholds against the FULL-resolution width
         # (processor.py:100 via pipeline's width_scale handling) — or, when
         # KeyframeConfig.threshold_abs is set, against that constant
@@ -86,6 +87,10 @@ class HostPass1Scanner:
         self._threshold_px = float(
             kf.threshold_abs if kf.threshold_abs > 0 else kf.threshold * full_width
         )
+        # Secondary displacement trigger (KeyframeConfig.flow_threshold):
+        # denominated against the WORKING width — displacement is measured
+        # in working px, so the ratio is resolution/downscale-invariant.
+        self._flow_threshold_px = float(kf.flow_threshold * w)
         self.initialized = False
 
     def scan(self, greys: np.ndarray, bootstrap_at: int = -1):
@@ -103,11 +108,12 @@ class HostPass1Scanner:
             float(cl.clip_limit), int(cl.tile_grid[0]), int(cl.tile_grid[1]),
             _ptr(self._prev, ctypes.c_float), _ptr(self._pts, ctypes.c_float),
             _ptr(self._mask, ctypes.c_uint8), _ptr(self._acc, ctypes.c_float),
+            _ptr(self._acc_flow, ctypes.c_float),
             kf.max_corners, float(kf.quality_level), int(kf.min_distance),
             int(kf.block_size),
             int(kf.window), int(kf.pyramid_levels), int(kf.max_iters),
             float(kf.eps),
-            self._threshold_px,
+            self._threshold_px, self._flow_threshold_px,
             _ptr(flags, ctypes.c_uint8), _ptr(enhanced, ctypes.c_float),
         )
         if bootstrap_at >= 0:

@@ -149,7 +149,7 @@ def _make_keyframe_scan(config: PipelineConfig):
     def init_carry(grey):
         pyr = tuple(klt.build_pyramid(grey, kf.pyramid_levels))
         pts, mask = seed_points(grey)
-        return (pyr, pts, mask, jnp.float32(0.0))
+        return (pyr, pts, mask, jnp.float32(0.0), jnp.float32(0.0))
 
     @functools.partial(jax.jit, static_argnames=("width_scale",))
     def scan_chunk(carry, greys, width_scale=1):
@@ -163,7 +163,7 @@ def _make_keyframe_scan(config: PipelineConfig):
         thresh = kf.threshold_abs if kf.threshold_abs > 0 else kf.threshold * width
 
         def step(carry, grey):
-            prev_pyr, pts, mask, acc = carry
+            prev_pyr, pts, mask, acc, acc_flow = carry
             cur_pyr = tuple(klt.build_pyramid(grey, kf.pyramid_levels))
             flow = klt.lucas_kanade(
                 prev_pyr,
@@ -182,7 +182,19 @@ def _make_keyframe_scan(config: PipelineConfig):
             n_valid = jnp.maximum(jnp.sum(mask), 1)
             acc = acc + jnp.sum(jnp.where(mask, err, 0.0)) / n_valid
 
+            # Frame-count-invariant secondary trigger: accumulated mean
+            # tracked DISPLACEMENT (working px) vs flow_threshold * working
+            # width — fires on fast clips whose appearance residual the
+            # reference rule under-accumulates (KeyframeConfig.flow_threshold).
+            ok_flow = mask & flow.status
+            n_flow = jnp.maximum(jnp.sum(ok_flow), 1)
+            disp = jnp.linalg.norm(flow.points - pts, axis=-1)
+            disp = jnp.nan_to_num(disp)
+            acc_flow = acc_flow + jnp.sum(jnp.where(ok_flow, disp, 0.0)) / n_flow
+
             is_kf = acc > thresh
+            if kf.flow_threshold > 0:
+                is_kf = is_kf | (acc_flow > kf.flow_threshold * greys.shape[2])
 
             # On keyframe: reset error and reseed with Shi-Tomasi exactly at
             # the keyframe, matching the reference (processor.py:104-106).
@@ -198,7 +210,8 @@ def _make_keyframe_scan(config: PipelineConfig):
                 grey,
             )
             acc = jnp.where(is_kf, 0.0, acc)
-            return (cur_pyr, pts2, mask2, acc), is_kf
+            acc_flow = jnp.where(is_kf, 0.0, acc_flow)
+            return (cur_pyr, pts2, mask2, acc, acc_flow), is_kf
 
         return jax.lax.scan(step, carry, greys)
 
@@ -2340,6 +2353,7 @@ def _estimate_volume(
         close_frac=config.volume.carve_close_frac,
         vote_frac=config.volume.carve_vote_frac,
         support_mask=support_mask,
+        trim_ref=config.volume.hull_trim_ref,
     )
     return jnp.concatenate(
         [

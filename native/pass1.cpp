@@ -453,16 +453,24 @@ extern "C" {
 //               bootstrap_at < 0).
 // state_pts / state_mask: (K, 2) float / (K,) uint8 tracked points (in/out).
 // state_acc:    accumulated error scalar (in/out).
-// threshold_px: keyframe threshold * FULL-resolution width (pipeline rule).
+// state_acc_flow: accumulated mean tracked displacement scalar (in/out) —
+//               the frame-count-invariant secondary trigger (see
+//               KeyframeConfig.flow_threshold; the reference's intensity
+//               rule alone starves fast clips of keyframes).
+// threshold_px: keyframe threshold * FULL-resolution width (pipeline rule),
+//               or the absolute intensity budget (threshold_abs).
+// flow_threshold_px: displacement budget in working px (flow_threshold *
+//               working width); <= 0 disables the secondary trigger.
 // kf_flags:     (t,) uint8 out — 1 where the frame fires a keyframe.
 // enhanced_out: (t, h, w) float out — CLAHE'd frames (only entries at
 //               flagged or bootstrap frames are meaningful to the caller).
 void pass1_scan(const uint8_t* greys, long t, long h, long w,
                 long bootstrap_at, float clip_limit, int tiles_y, int tiles_x,
                 float* state_prev, float* state_pts, uint8_t* state_mask,
-                float* state_acc, long K, float quality, int min_dist,
-                int block, int win, int levels, int iters, float eps,
-                float threshold_px, uint8_t* kf_flags, float* enhanced_out) {
+                float* state_acc, float* state_acc_flow, long K, float quality,
+                int min_dist, int block, int win, int levels, int iters,
+                float eps, float threshold_px, float flow_threshold_px,
+                uint8_t* kf_flags, float* enhanced_out) {
   std::memset(kf_flags, 0, (size_t)t);
   Pyramid prev_pyr, curr_pyr;
   prev_pyr.init(h, w, levels);
@@ -478,6 +486,7 @@ void pass1_scan(const uint8_t* greys, long t, long h, long w,
                   state_mask);
     std::memcpy(state_prev, enh, sizeof(float) * h * w);
     *state_acc = 0.f;
+    *state_acc_flow = 0.f;
     start = bootstrap_at + 1;
   }
   if (start >= t) return;
@@ -494,7 +503,9 @@ void pass1_scan(const uint8_t* greys, long t, long h, long w,
     build_pyramid(enh, h, w, levels, curr_pyr, tmp);
 
     double err_sum = 0.0;
+    double disp_sum = 0.0;
     long n_valid = 0;
+    long n_flow = 0;
     for (long k = 0; k < K; ++k) {
       if (!state_mask[k]) continue;
       ++n_valid;
@@ -506,12 +517,24 @@ void pass1_scan(const uint8_t* greys, long t, long h, long w,
       // negatives -> 0 (|.| is already non-negative here).
       if (status[k] && std::isfinite(errs[k]))
         err_sum += std::max(errs[k], 0.f);
+      if (status[k]) {
+        float dx = new_pts[2 * k] - state_pts[2 * k];
+        float dy = new_pts[2 * k + 1] - state_pts[2 * k + 1];
+        float d = std::sqrt(dx * dx + dy * dy);
+        if (std::isfinite(d)) disp_sum += d;
+        ++n_flow;
+      }
     }
     *state_acc += (float)(err_sum / std::max(n_valid, 1L));
+    *state_acc_flow += (float)(disp_sum / std::max(n_flow, 1L));
 
-    if (*state_acc > threshold_px) {
+    bool fire = *state_acc > threshold_px;
+    if (flow_threshold_px > 0.f && *state_acc_flow > flow_threshold_px)
+      fire = true;
+    if (fire) {
       kf_flags[f] = 1;
       *state_acc = 0.f;
+      *state_acc_flow = 0.f;
       good_features(enh, h, w, K, quality, min_dist, block, state_pts,
                     state_mask);
     } else {

@@ -137,7 +137,7 @@ def masks_for(cap, vcfg: VolumeConfig):
     return gated, ungated
 
 
-def eval_variant(cap, vcfg, support, trim):
+def eval_variant(cap, vcfg, support, trim, trim_ref=0, inflate=0.0):
     pts = jnp.asarray(cap["pts"])
     gated, ungated = masks_for(cap, vcfg)
     smask = gated if support == "gated" else ungated
@@ -154,6 +154,8 @@ def eval_variant(cap, vcfg, support, trim):
         grid_step=max(1, 4 // kf_scale),
         close_frac=vcfg.carve_close_frac, vote_frac=vcfg.carve_vote_frac,
         support_mask=jnp.asarray(smask),
+        trim_ref=trim_ref,
+        support_inflate=inflate,
     )
     return float(hull), float(carve)
 
@@ -162,6 +164,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", default=None, help="comma-separated subset")
     ap.add_argument("--trims", default="1,2,3,5,7")
+    # Sparse-aware trim scaling (VolumeConfig.hull_trim_ref): depth reaches
+    # `trim` at `trim_ref` support points, scales linearly below. 0 = fixed.
+    ap.add_argument("--trim-refs", default="0")
+    # Sampling-interval support inflation (volume.hull_and_carved_volume
+    # support_inflate): fraction of the support cloud's median 6th-NN
+    # distance added to every support plane.
+    ap.add_argument("--inflates", default="0")
     args = ap.parse_args(argv)
 
     scenes = validation_scenes()
@@ -184,20 +193,29 @@ def main(argv=None):
                             min_parallax_deg=mp)
 
     trims = [int(t) for t in args.trims.split(",")]
-    variants = [(s, t) for s in ("gated", "ungated") for t in trims]
+    trim_refs = [int(t) for t in args.trim_refs.split(",")]
+    inflates = [float(t) for t in args.inflates.split(",")]
+    variants = [
+        (s, t, tr, inf)
+        for s in ("gated",)
+        for t in trims
+        for tr in trim_refs
+        for inf in inflates
+    ]
     rows = {}
-    for sup, trim in variants:
+    for sup, trim, tref, inf in variants:
         errs = {}
         for name, cap in caps.items():
             truth = float(cap["truth"])
-            hull, _ = eval_variant(cap, cfg_of(cap), sup, trim)
+            hull, _ = eval_variant(cap, cfg_of(cap), sup, trim, trim_ref=tref, inflate=inf)
             errs[name] = hull / truth - 1.0
         worst = max(abs(e) for e in errs.values())
-        rows[(sup, trim)] = (errs, worst)
+        rows[(sup, trim, tref, inf)] = (errs, worst)
         cells = "  ".join(f"{n}:{e:+.1%}" for n, e in errs.items())
-        print(f"{sup:8s} trim={trim:2d}  worst={worst:.1%}  {cells}")
+        print(f"{sup:8s} trim={trim:2d} ref={tref:4d} inf={inf:.2f}  worst={worst:.1%}  {cells}")
     best = min(rows.items(), key=lambda kv: kv[1][1])
     print(f"\nbest variant: support={best[0][0]} trim={best[0][1]} "
+          f"trim_ref={best[0][2]} inflate={best[0][3]} "
           f"worst-case |err|={best[1][1]:.1%}")
     return 0
 
