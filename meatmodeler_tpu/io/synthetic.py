@@ -382,3 +382,86 @@ def _render_frames_jax(
         noise = jax.random.normal(sub, (chunk, h, w), jnp.float32) if scene.noise_sigma > 0 else jnp.zeros((chunk, h, w), jnp.float32)
         out.append(np.asarray(run(r, t, noise))[: len(rots[i : i + chunk])])
     return np.concatenate(out)
+
+
+def degrade_sequence(
+    frames: np.ndarray,
+    kind: str,
+    seed: int = 0,
+    strength: float = 1.0,
+) -> np.ndarray:
+    """Apply a capture degradation family to a rendered clip (uint8 BGR).
+
+    The reference was built for hand-held food videos
+    (``/root/reference/README.md:1-2``, ``processor.py:294-319``) — real
+    captures carry sensor noise, motion blur, exposure drift, codec
+    artifacts, and occasional occlusions that a clean synthetic render
+    never shows. These families drive the bench's robustness section
+    (BENCH ``robustness``): each is applied POST-render so the
+    ground-truth geometry (poses, corners, volume) is unchanged and the
+    pipeline's accuracy under degradation is measurable against the same
+    truth.
+
+    Kinds:
+      "noise"     — additive Gaussian sensor noise, sigma = 8 * strength.
+      "blur"      — linear motion blur, kernel length ~ 9 * strength px
+                    (horizontal: the turntable pan direction).
+      "flicker"   — sinusoidal exposure gain, +-25% * strength across the
+                    clip (auto-exposure hunting / mains flicker).
+      "jpeg"      — per-frame JPEG encode/decode at quality
+                    ~ 40 / strength (blocking + chroma artifacts; the
+                    closest available stand-in for codec artifacts).
+      "occlusion" — a grey rectangle (~18% * strength of the frame's short
+                    side) drifting over the lower-center region where the
+                    board sits, on a third of the frames.
+    """
+    rng = np.random.default_rng(seed)
+    out = np.asarray(frames)
+    t, h, w = out.shape[:3]
+    if kind == "noise":
+        noisy = out.astype(np.float32) + rng.normal(
+            0.0, 8.0 * strength, size=out.shape
+        ).astype(np.float32)
+        return np.clip(noisy, 0, 255).astype(np.uint8)
+    if kind == "blur":
+        k = max(3, int(round(9 * strength)) | 1)
+        kernel = np.ones(k, np.float32) / k
+        blurred = out.astype(np.float32)
+        # Separable horizontal box blur via cumsum (fast on the weak host).
+        pad = np.pad(blurred, ((0, 0), (0, 0), (k // 2, k // 2), (0, 0)), mode="edge")
+        cs = np.cumsum(pad, axis=2)
+        blurred = (cs[:, :, k - 1 :] - np.concatenate(
+            [np.zeros_like(cs[:, :, :1]), cs[:, :, : -k]], axis=2
+        )) / k
+        return np.clip(blurred, 0, 255).astype(np.uint8)
+    if kind == "flicker":
+        phase = rng.uniform(0, 2 * np.pi)
+        gain = 1.0 + 0.25 * strength * np.sin(
+            np.linspace(0, 6 * np.pi, t) + phase
+        )
+        return np.clip(
+            out.astype(np.float32) * gain[:, None, None, None], 0, 255
+        ).astype(np.uint8)
+    if kind == "jpeg":
+        import cv2
+
+        q = int(np.clip(40 / max(strength, 1e-3), 5, 95))
+        enc = [int(cv2.IMWRITE_JPEG_QUALITY), q]
+        dec = np.empty_like(out)
+        for i in range(t):
+            ok, buf = cv2.imencode(".jpg", out[i], enc)
+            assert ok
+            dec[i] = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        return dec
+    if kind == "occlusion":
+        occ = out.copy()
+        side = int(min(h, w) * 0.18 * strength)
+        for i in range(t):
+            if i % 3:
+                continue
+            cy = int(h * 0.62 + 0.1 * h * np.sin(i / 7.0))
+            cx = int(w * 0.5 + 0.25 * w * np.cos(i / 11.0))
+            y0, x0 = max(cy - side // 2, 0), max(cx - side // 2, 0)
+            occ[i, y0 : y0 + side, x0 : x0 + side] = 96
+        return occ
+    raise ValueError(f"unknown degradation kind: {kind!r}")

@@ -25,8 +25,11 @@ from jax.sharding import Mesh
 
 from meatmodeler_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from meatmodeler_tpu.geometry import projection
+from meatmodeler_tpu.io import native_ops
 from meatmodeler_tpu.io import ply as ply_mod
+from meatmodeler_tpu.ops import chessboard
 from meatmodeler_tpu.parallel import sharded
+from meatmodeler_tpu import pipeline as _pl
 from meatmodeler_tpu.pipeline import (
     _volume_confidence,
     ProcessResult,
@@ -82,46 +85,279 @@ def process_batch(
         return _process_batch_inner(videos, config, mesh, paths, known_corners)
 
 
+def _batch_prepass(videos, config, known_corners, metrics_list):
+    """Batched pass 1 for uniform in-memory clips: decimate on host, ONE
+    upload + ONE vmapped device scan + batched board detection for the
+    whole batch (see ``pipeline._make_batch_scan`` for why — with one host
+    core the per-video C++ scans are strictly serial and dominate the warm
+    batch while the device idles).
+
+    Returns a per-video list of either kwargs-dicts for
+    ``pipeline._pass2_to_preba`` or ``None`` (that video needs the full
+    per-video driver: non-uniform input, no board, too few keyframes);
+    returns ``None`` outright when the batch shape doesn't qualify.
+    """
+    if config.assume_markerless or config.pass2_enhance != "grey":
+        return None
+    clips = []
+    for v in videos:
+        if not (
+            isinstance(v, np.ndarray) and v.ndim == 4 and v.dtype == np.uint8
+        ):
+            return None
+        clips.append(v)
+    if len({c.shape for c in clips}) != 1:
+        return None
+    t, h, w = clips[0].shape[:3]
+    if t < 2:
+        return None
+    min_dim = min(h, w)
+    scale = config.pass1_downscale or (
+        4 if min_dim >= 1060 else 2 if min_dim >= 720 else 1
+    )
+    p2s = config.pass2_downscale or (2 if min_dim >= 1060 else 1)
+    pattern = config.chessboard.pattern
+
+    # Host C++ decimation (the only remaining per-frame host work).
+    smalls = np.stack([native_ops.bgr_to_grey_down(c, scale) for c in clips])
+    from meatmodeler_tpu.io.native_pass1 import HostPass1Scanner, host_pass1_available
+
+    if host_pass1_available():
+        # The scalar C++ scan is ~5x cheaper than the device scan for this
+        # role (measured 0.15 s vs ~0.7 s per 60-frame clip: the device
+        # scan's per-point LK gathers serialize inside the compiled step,
+        # and vmapping videos multiplies the serial chain). Keyframe flags
+        # land directly; the CLAHE'd enhanced frames for board detection
+        # come from the scanner itself.
+        flags_rows, enh_rows = [], []
+        for vi in range(len(clips)):
+            scanner = HostPass1Scanner(
+                config, smalls.shape[2], smalls.shape[3], full_width=w
+            )
+            f, enh = scanner.scan(smalls[vi], bootstrap_at=0)
+            flags_rows.append(f[1:])
+            enh_rows.append(enh)
+        flags = np.stack(flags_rows)
+        enh_dev = np.clip(np.round(np.stack(enh_rows)), 0, 255).astype(np.uint8)
+    else:
+        flags_dev, enh_dev = _pl._make_batch_scan(config)(
+            jnp.asarray(smalls), width_scale=scale
+        )
+        flags = np.asarray(flags_dev)  # ONE sync for the whole batch's pass 1
+
+    # Keyframe index sets first, so board detection for the WHOLE batch can
+    # run as one cross-video program + one readback below.
+    kf_idx_all = []
+    for vi in range(len(clips)):
+        kf_idx = [0] + [int(i) + 1 for i in np.nonzero(flags[vi])[0]]
+        if len(kf_idx) > config.tracks.max_keyframes:
+            raise ValueError(
+                f"{len(kf_idx)} keyframes exceed tracks.max_keyframes="
+                f"{config.tracks.max_keyframes}; raise the capacity or the "
+                "keyframe threshold"
+            )
+        kf_idx_all.append(kf_idx)
+
+    dev_results_all = [None] * len(clips)
+    need_detect = [
+        vi for vi in range(len(clips)) if known_corners[vi] is None
+    ]
+    cb = config.chessboard
+    device_fits = (
+        pattern[0] * pattern[1] <= cb.detect_candidates
+        and cb.detector in ("device", "auto")
+    )
+    if need_detect and device_fits:
+        flat = [
+            (vi, li)
+            for vi in need_detect
+            for li in range(len(kf_idx_all[vi]))
+        ]
+        cand = _pl._detect_board_device_batch(
+            [enh_dev[vi][kf_idx_all[vi][li]] for vi, li in flat],
+            pattern, scale, cb,
+        )
+        for (vi, li), c in zip(flat, cand):
+            if dev_results_all[vi] is None:
+                dev_results_all[vi] = {}
+            dev_results_all[vi][li] = c
+
+    out = []
+    for vi, clip in enumerate(clips):
+        metrics = metrics_list[vi]
+        kf_idx = kf_idx_all[vi]
+        metrics.count("frames_total", t)
+        metrics.count("keyframes_selected", len(kf_idx))
+        # Pass-2 keyframes: host-decimate only the selected frames to the
+        # working resolution, upload as ONE array per video.
+        greys2 = native_ops.bgr_to_grey_down(
+            np.ascontiguousarray(clip[kf_idx]), p2s
+        )
+        greys2_dev = jax.device_put(greys2)
+        kf_frames = [greys2_dev[i] for i in range(len(kf_idx))]
+
+        known = known_corners[vi]
+        if known is not None:
+            kf_corners = [
+                chessboard.canonicalize_corners(
+                    np.asarray(known[g], np.float32), pattern
+                )
+                for g in kf_idx
+            ]
+            kept_frames, kept_corners, kept_idx = kf_frames, kf_corners, kf_idx
+        else:
+            with metrics.stage("board_detect"):
+                kept_frames, kept_corners, kept_idx = _pl._resolve_board_corners(
+                    kf_frames,
+                    [None] * len(kf_idx),
+                    [enh_dev[vi][g] for g in kf_idx],
+                    [smalls[vi, g] for g in kf_idx],
+                    kf_idx,
+                    pattern,
+                    scale,
+                    config,
+                    metrics,
+                    kf_scale=p2s,
+                    dev_results=dev_results_all[vi],
+                )
+        if len(kept_frames) < 3:
+            out.append(None)  # board-free/starved: full per-video driver
+            continue
+        metrics.count("keyframes", len(kept_frames))
+        metrics.count("kf_scale", p2s)
+        metrics.count("keyframe_indices", [int(i) for i in kept_idx])
+        metrics.count("batch_fast_prepass", True)
+        out.append(
+            dict(
+                kf_stack=None,
+                kf_frames=kept_frames,
+                kf_corners=kept_corners,
+                kf_indices=kept_idx,
+                n_kf=len(kept_frames),
+                frame_idx=t,
+                p2s=p2s,
+                markerless=False,
+            )
+        )
+    return out
+
+
 def _process_batch_inner(videos, config, mesh, paths, known_corners):
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("MEATMODELER_BATCH_DEBUG") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _dbg:
+            now = _time.perf_counter()
+            print(f"[batch] {label}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     n_videos = len(videos)
     # ---- per-video host-driven phases (decode, keyframes, features) ----
-    # Two workers overlap video i+1's host-bound work (decode + C++ keyframe
-    # scan, which release the GIL) with video i's device-bound stages; more
-    # workers only add contention since a single chip serializes the device
-    # programs anyway. Results stay in input order.
+    # The fast prepass batches pass 1 (decimate -> ONE device scan -> board
+    # resolution) across the whole video batch; two workers then overlap
+    # video i+1's remaining host glue with video i's device-bound pass-2
+    # stages; more workers only add contention since a single chip
+    # serializes the device programs anyway. Videos the prepass cannot
+    # serve (non-uniform shapes, boardless, markerless) run the full
+    # per-video driver. Results stay in input order.
     from concurrent.futures import ThreadPoolExecutor
 
     metrics_list = [Metrics() for _ in range(n_videos)]
-    with ThreadPoolExecutor(max_workers=min(2, max(n_videos, 1))) as pool:
-        pres = list(
-            pool.map(
-                lambda args: _reconstruct_to_ba(
-                    args[0], config, args[1], args[2], StageCheckpointer(None)
-                ),
-                list(zip(videos, known_corners, metrics_list)),
+    prepped = _batch_prepass(videos, config, known_corners, metrics_list)
+    _mark("prepass")
+
+    def reconstruct(i):
+        if prepped is not None and prepped[i] is not None:
+            # Dispatch-only: device handles come back; the store fetch for
+            # EVERY video below rides one batched device_get (per-video
+            # fetches each pay the tunneled link's latency — measured ~4 s
+            # of an 8-video warm batch).
+            return _pl._pass2_to_preba(
+                config, metrics_list[i], StageCheckpointer(None),
+                return_handles=True, **prepped[i]
             )
+        return _reconstruct_to_ba(
+            videos[i], config, known_corners[i], metrics_list[i],
+            StageCheckpointer(None),
         )
+
+    with ThreadPoolExecutor(max_workers=min(2, max(n_videos, 1))) as pool:
+        pres = list(pool.map(reconstruct, range(n_videos)))
+    _mark("pass2 dispatch")
+    handle_rows = [
+        i for i, p in enumerate(pres) if isinstance(p, _pl._P2Handles)
+    ]
+    if handle_rows:
+        # STACK each leaf kind across videos on device and fetch ONE buffer
+        # per kind: the tunneled link pays ~130 ms PER BUFFER regardless of
+        # size, so 8 videos x 7 store leaves as separate buffers cost ~5 s
+        # where 7 stacked buffers cost ~1 (keyframe axes pad to the widest
+        # video's bucket first).
+        leaves = [_pl._p2_fetch_leaves(pres[i]) for i in handle_rows]
+        fb_common = max(l[2].shape[1] for l in leaves)
+
+        def pad_f(x, axis):
+            pad = fb_common - x.shape[axis]
+            if not pad:
+                return x
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, pad)
+            return jnp.pad(x, widths)
+
+        stacked = (
+            jnp.stack([l[0] for l in leaves]),  # tri_valid
+            jnp.stack([l[1] for l in leaves]),  # track_parallax
+            jnp.stack([pad_f(l[2], 1) for l in leaves]),  # coords
+            jnp.stack([pad_f(l[3], 1) for l in leaves]),  # obs_mask
+            jnp.stack([l[4] for l in leaves]),  # used
+            jnp.stack([l[5] for l in leaves]),  # points
+            jnp.stack([pad_f(l[6], 1) for l in leaves]),  # octaves
+        )
+        fetched_np = jax.device_get(stacked)
+        for row, i in enumerate(handle_rows):
+            pres[i] = _pl._finish_preba(
+                pres[i], tuple(leaf[row] for leaf in fetched_np)
+            )
+    _mark("preba fetch+finish")
 
     # ---- pad every video's BA problem to shared static capacities ----
     f_max = max(p.n_kf for p in pres)
     p_max = max(len(p.points) for p in pres)
     o_max = max(len(p.obs) for p in pres)
 
-    def problem(pre) -> bundle_adjust.BAProblem:
-        cams = np.asarray(projection.params_from_extrinsics(pre.ext_refined))
+    # ONE batched fetch for every video's camera params + intrinsics (the
+    # per-video np.asarray calls each paid a link round trip).
+    cams_np, intr_np_list = jax.device_get(
+        (
+            [projection.params_from_extrinsics(p.ext_refined) for p in pres],
+            [p.intrinsics for p in pres],
+        )
+    )
+
+    def problem(pre, cams, intr) -> bundle_adjust.BAProblem:
+        # HOST-side numpy fields: the batch stacks every video's problem on
+        # host and uploads ONE array per field below (the per-video
+        # jnp.asarray form paid 8 fields x V small uploads).
         n_obs = len(pre.obs)
         return bundle_adjust.BAProblem(
-            cam_params=jnp.asarray(_pad_to(cams, f_max)),
-            points=jnp.asarray(_pad_to(np.asarray(pre.points, np.float32), p_max)),
-            intrinsics=jnp.asarray(pre.intrinsics),
-            obs=jnp.asarray(_pad_to(np.asarray(pre.obs, np.float32), o_max)),
-            frame_idx=jnp.asarray(_pad_to(np.asarray(pre.fidx, np.int32), o_max)),
-            point_idx=jnp.asarray(_pad_to(np.asarray(pre.pidx, np.int32), o_max)),
-            mask=jnp.arange(o_max) < n_obs,
-            weight=jnp.asarray(_pad_to(np.asarray(pre.obs_weight, np.float32), o_max)),
+            cam_params=_pad_to(np.asarray(cams, np.float32), f_max),
+            points=_pad_to(np.asarray(pre.points, np.float32), p_max),
+            intrinsics=np.asarray(intr, np.float32),
+            obs=_pad_to(np.asarray(pre.obs, np.float32), o_max),
+            frame_idx=_pad_to(np.asarray(pre.fidx, np.int32), o_max),
+            point_idx=_pad_to(np.asarray(pre.pidx, np.int32), o_max),
+            mask=np.arange(o_max) < n_obs,
+            weight=_pad_to(np.asarray(pre.obs_weight, np.float32), o_max),
         )
 
-    problems = [problem(p) for p in pres]
+    problems = [
+        problem(p, c, k) for p, c, k in zip(pres, cams_np, intr_np_list)
+    ]
     # The data axis must divide the batch: pad with copies of the last
     # problem (their results are discarded).
     n_solve = n_videos
@@ -130,8 +366,11 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
         while n_solve % data:
             problems.append(problems[-1])
             n_solve += 1
-    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+    batched = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *problems
+    )
 
+    _mark("problem build")
     # ---- per-core independent Schur solves ----
     if mesh is not None:
         result = sharded.solve_ba_batch(mesh, batched, config=config.solver)
@@ -140,6 +379,7 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
             lambda pr: bundle_adjust.solve_ba(pr, config=config.solver)
         )(batched)
 
+    _mark("solve dispatch")
     # ---- unpack, volume, PLY per video ----
     # Dispatch every video's volume program FIRST (device arrays in, no
     # forced syncs), then fetch everything the host loop needs in TWO
@@ -152,31 +392,110 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
         )
         for i in range(n_videos)
     ]
-    fused_handles = [
-        _estimate_volume(
-            result.points[i, : len(pres[i].points)],
-            pres[i].intrinsics,
-            ext4_dev[i],
-            pres[i].n_kf,
-            pres[i].image_size,
-            config,
-            point_sigma=pres[i].point_sigma,
-            point_parallax=pres[i].point_parallax,
-            use_plane=not pres[i].markerless,
-            kf_scale=pres[i].kf_scale,
+    uniform = (
+        len({p.image_size for p in pres}) == 1
+        and len({p.kf_scale for p in pres}) == 1
+        and not any(p.markerless for p in pres)
+    )
+    if uniform:
+        # ONE vmapped volume program for the whole batch (eight sequential
+        # per-video hull+carve dispatches were ~4 s of the warm batch).
+        p_max2 = result.points.shape[1]
+        pb = max(-(-p_max2 // 1024) * 1024, 1024)
+        fb = -(-max(p.n_kf for p in pres) // 8) * 8
+        pts_b = jnp.pad(
+            result.points[:n_videos], ((0, 0), (0, pb - p_max2), (0, 0))
         )
-        for i in range(n_videos)
-    ]
-    pts_np, rmse_np, iters_np, ext4_np, fused_np = jax.device_get(
+        ext_b = jnp.stack(
+            [
+                jnp.pad(e, ((0, fb - e.shape[0]), (0, 0), (0, 0)))
+                for e in ext4_dev
+            ]
+        )
+        valid_b = jnp.asarray(
+            np.arange(pb)[None, :]
+            < np.asarray([len(p.points) for p in pres])[:, None]
+        )
+        pmask_b = jnp.asarray(
+            np.arange(fb)[None, :]
+            < np.asarray([p.n_kf for p in pres])[:, None]
+        )
+        sig_b = jnp.asarray(
+            np.stack(
+                [
+                    np.pad(
+                        np.asarray(p.point_sigma, np.float32),
+                        (0, pb - len(p.point_sigma)),
+                        constant_values=np.inf,
+                    )
+                    for p in pres
+                ]
+            )
+        )
+        par_b = jnp.asarray(
+            np.stack(
+                [
+                    np.pad(
+                        np.asarray(p.point_parallax, np.float32),
+                        (0, pb - len(p.point_parallax)),
+                    )
+                    for p in pres
+                ]
+            )
+        )
+        intr_b = jnp.asarray(np.stack(intr_np_list).astype(np.float32))
+        run_vol = _pl._make_volume_batch(
+            config, pres[0].image_size, pres[0].kf_scale, True
+        )
+        fused_handles = run_vol(
+            pts_b, valid_b, pmask_b, ext_b, intr_b, sig_b, par_b,
+            result.rmse[:n_videos].astype(jnp.float32),
+        )
+        pass  # fused_handles stays the (V, 6) matrix — ONE fetch buffer
+    else:
+        fused_handles = [
+            _estimate_volume(
+                result.points[i, : len(pres[i].points)],
+                pres[i].intrinsics,
+                ext4_dev[i],
+                pres[i].n_kf,
+                pres[i].image_size,
+                config,
+                point_sigma=pres[i].point_sigma,
+                point_parallax=pres[i].point_parallax,
+                use_plane=not pres[i].markerless,
+                kf_scale=pres[i].kf_scale,
+            )
+            for i in range(n_videos)
+        ]
+    # Coalesced final fetch: ONE buffer per kind (points as the whole padded
+    # (V, P, 3) solve output, extrinsics restacked to a common keyframe pad,
+    # the fused volume vectors as one (V, 6) matrix) — per-video slices as
+    # separate buffers each paid the tunnel's ~130 ms/buffer latency.
+    fb_all = max(e.shape[0] for e in ext4_dev)
+    ext4_b = jnp.stack(
+        [
+            jnp.pad(e, ((0, fb_all - e.shape[0]), (0, 0), (0, 0)))
+            for e in ext4_dev
+        ]
+    )
+    if not isinstance(fused_handles, (list, tuple)):
+        fused_b = fused_handles
+    else:
+        fused_b = jnp.stack(fused_handles)
+    pts_all, rmse_np, iters_np, ext4_all, fused_all = jax.device_get(
         (
-            [result.points[i, : len(pres[i].points)] for i in range(n_videos)],
+            result.points[:n_videos],
             result.rmse[:n_videos],
             result.iterations[:n_videos],
-            ext4_dev,
-            fused_handles,
+            ext4_b,
+            fused_b,
         )
     )
-    fused_np = [np.asarray(f) for f in fused_np]
+    _mark("final fetch")
+    pts_np = [pts_all[i, : len(pres[i].points)] for i in range(n_videos)]
+    ext4_np = [ext4_all[i, : pres[i].n_kf] for i in range(n_videos)]
+    fused_np = [np.asarray(fused_all[i]) for i in range(n_videos)]
 
     out: List[ProcessResult] = []
     for i, (pre, metrics, path) in enumerate(zip(pres, metrics_list, paths)):

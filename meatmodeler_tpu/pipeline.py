@@ -223,6 +223,40 @@ def _enhanced_grey_batch(bgr_chunk):
     return clahe.enhanced_grey(bgr_chunk)
 
 
+@functools.lru_cache(maxsize=4)
+def _make_batch_scan(config: PipelineConfig):
+    """(V, T, h, w) uint8 downscaled greys -> ((V, T-1) keyframe flags,
+    (V, T, h, w) float32 CLAHE'd frames), ONE jitted program.
+
+    The multi-video fast path (``parallel.batch``): with one host core the
+    per-video C++ scans are strictly serial (~0.7 s per 60-frame 1080p clip
+    — more than half the whole warm batch), while the device idles 90%+.
+    The downscaled grey stream for a WHOLE batch is tiny (8x60 frames at
+    1080p/6 = 28 MB uint8), so the batch uploads once and the keyframe
+    state machine runs vmapped over videos on device. Every video
+    bootstraps at its frame 0 (the batch contract: the board is visible
+    from the start; keyframes without a resolvable board are still dropped
+    downstream, and a video that ends with < 3 board keyframes falls back
+    to the full per-video driver)."""
+    init_carry, scan_chunk = _make_keyframe_scan(config)
+
+    @functools.partial(jax.jit, static_argnames=("width_scale",))
+    def batch_scan(smalls, width_scale=1):
+        v, t, h, w = smalls.shape
+        enh = clahe.clahe(
+            smalls.reshape(v * t, h, w).astype(jnp.float32)
+        ).reshape(v, t, h, w).astype(jnp.float32)
+
+        def per_video(g):
+            carry = init_carry(g[0])
+            _, flags = scan_chunk(carry, g[1:], width_scale=width_scale)
+            return flags
+
+        return jax.vmap(per_video)(enh), enh
+
+    return batch_scan
+
+
 @jax.jit
 def _clahe_grey_batch(grey_chunk):
     """CLAHE on uploaded grey frames — pass 1's transfer-optimal path.
@@ -823,7 +857,7 @@ def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
 
 def _resolve_board_corners(
     kf_frames, kf_corners, kf_small_dev, kf_small_host, kf_indices, pattern,
-    scale, config, metrics, kf_scale=1,
+    scale, config, metrics, kf_scale=1, dev_results=None,
 ):
     """Post-pass-1 board detection + sequential orientation anchoring.
 
@@ -843,12 +877,17 @@ def _resolve_board_corners(
     n = len(kf_frames)
     pending = [i for i in range(n) if kf_corners[i] is None]
 
-    dev_results = {}
-    if pending and (mode == "device" or (mode == "auto" and device_fits)):
-        cand = _detect_board_device_batch(
-            [kf_small_dev[i] for i in pending], pattern, scale, config.chessboard
-        )
-        dev_results = dict(zip(pending, cand))
+    if dev_results is None:
+        # (The multi-video batch path passes precomputed results from ONE
+        # cross-video detection program + readback — per-video detect calls
+        # each pay the tunneled link's per-buffer latency.)
+        dev_results = {}
+        if pending and (mode == "device" or (mode == "auto" and device_fits)):
+            cand = _detect_board_device_batch(
+                [kf_small_dev[i] for i in pending], pattern, scale,
+                config.chessboard,
+            )
+            dev_results = dict(zip(pending, cand))
 
     out_frames, out_corners, out_indices = [], [], []
     prev = None
@@ -1726,6 +1765,27 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
             "keyframe threshold"
         )
 
+    return _pass2_to_preba(
+        config, metrics, ckpt, kf_stack, kf_frames if kf_stack is None else [],
+        kf_corners, kf_indices, n_kf, frame_idx, p2s, markerless, prefetch,
+        prefetch_indices,
+    )
+
+
+def _pass2_to_preba(
+    config, metrics, ckpt, kf_stack, kf_frames, kf_corners, kf_indices,
+    n_kf, frame_idx, p2s, markerless, prefetch=None, prefetch_indices=None,
+    return_handles=False,
+):
+    """PASS 2 + geometry from resolved keyframes to the BA-ready problem —
+    the back half of ``_reconstruct_to_ba``, split out so the multi-video
+    batch fast path (``parallel.batch``) can feed it keyframes selected by
+    the BATCHED device scan instead of the per-video pass-1 drivers.
+
+    Either ``kf_stack`` (already-enhanced working-res greys) or
+    ``kf_frames`` (device-resident raw keyframes to enhance here) must be
+    provided."""
+    pattern = config.chessboard.pattern
     orb_batch = None
     if kf_stack is None:
         # Prefetched path: the enhance + ORB minibatches were dispatched from
@@ -1970,13 +2030,78 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         metrics.count_async("triangulated", jnp.sum(tri_valid), convert=int)
         metrics.count_async("outlier_tracks_dropped", n_outlier, convert=int)
 
-    # Batched fetch (one link round trip) of the per-track device outputs the
-    # host-side BA-problem assembly needs alongside to_ba_arrays' store fetch.
-    tri_valid_full, track_parallax_np = jax.device_get((tri_valid, track_parallax))
-    points, obs, fidx, pidx, track_ids, obs_octave = tracks_mod.to_ba_arrays(store)
+    # Device-handle bundle for the ONE batched fetch below. The multi-video
+    # batch path collects these across ALL videos and issues a single
+    # ``jax.device_get`` for the whole batch — per-video fetches each pay
+    # the tunneled link's latency (~0.3-0.6 s a video, ~4 s of an 8-video
+    # warm batch before this split).
+    handles = _P2Handles(
+        store=store,
+        tri_valid=tri_valid,
+        track_parallax=track_parallax,
+        ext_refined=ext_refined,
+        intrinsics=intr,
+        dist=dist_coefs,
+        n_kf=n_kf,
+        frame_idx=frame_idx,
+        markerless=markerless,
+        p2s=p2s,
+        image_size=(int(w), int(h)),
+        scale_factor=float(config.orb.scale_factor),
+    )
+    if return_handles:
+        # Multi-video batch path: the caller collects every video's handles
+        # and fetches them in ONE device_get (see parallel.batch).
+        return handles
+    return _finish_preba(handles, jax.device_get(_p2_fetch_leaves(handles)))
+
+
+class _P2Handles(NamedTuple):
+    """Device handles + static metadata between pass-2 dispatch and the
+    host-side PreBA assembly (the fetch boundary of ``_pass2_to_preba``)."""
+
+    store: Any
+    tri_valid: Any
+    track_parallax: Any
+    ext_refined: Any
+    intrinsics: Any
+    dist: Any
+    n_kf: int
+    frame_idx: int
+    markerless: bool
+    p2s: int
+    image_size: Tuple[int, int]
+    scale_factor: float
+
+
+def _p2_fetch_leaves(h: "_P2Handles"):
+    """Everything the host-side assembly needs, as one device_get payload."""
+    s = h.store
+    return (
+        h.tri_valid, h.track_parallax,
+        s.coords, s.obs_mask, s.used, s.points, s.octaves,
+    )
+
+
+def _finish_preba(h: "_P2Handles", fetched) -> PreBA:
+    """Host-side BA-problem assembly from fetched store arrays (the numpy
+    half of ``to_ba_arrays`` + the triangulation-gate filtering)."""
+    (tri_valid_full, track_parallax_np,
+     coords, obs_mask, used, pts, octaves) = [np.asarray(x) for x in fetched]
+
+    n_obs_per = obs_mask.sum(1)
+    keep = used & (n_obs_per >= 2)
+    track_ids = np.nonzero(keep)[0]
+    points = pts[track_ids]
+    t_idx, f_idx = np.nonzero(obs_mask[track_ids])
+    obs = coords[track_ids][t_idx, f_idx]
+    obs_octave = octaves[track_ids][t_idx, f_idx].astype(np.int32)
+    fidx = f_idx.astype(np.int32)
+    pidx = t_idx.astype(np.int32)
+
     tri_valid_np = tri_valid_full[track_ids]
     obs_keep = tri_valid_np[pidx]
-    obs_sigma = np.float32(config.orb.scale_factor) ** obs_octave.astype(np.float32)
+    obs_sigma = np.float32(h.scale_factor) ** obs_octave.astype(np.float32)
     obs_weight = (1.0 / obs_sigma)[obs_keep].astype(np.float32)
     points = points[tri_valid_np]
     # Per-point sigma for the volume gate: the track's MEAN observation
@@ -1992,9 +2117,9 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
     obs, fidx, pidx = obs[obs_keep], fidx[obs_keep], remap[pidx[obs_keep]]
 
     return PreBA(
-        ext_refined=ext_refined,
-        intrinsics=intr,
-        dist=dist_coefs,
+        ext_refined=h.ext_refined,
+        intrinsics=h.intrinsics,
+        dist=h.dist,
         points=points,
         obs=obs,
         fidx=fidx,
@@ -2002,11 +2127,11 @@ def _reconstruct_to_ba(video, config, known_corners, metrics, ckpt) -> PreBA:
         obs_weight=obs_weight,
         point_sigma=point_sigma,
         point_parallax=point_parallax,
-        n_kf=n_kf,
-        image_size=(int(w), int(h)),
-        frames_total=frame_idx,
-        markerless=markerless,
-        kf_scale=p2s,
+        n_kf=h.n_kf,
+        image_size=h.image_size,
+        frames_total=h.frame_idx,
+        markerless=h.markerless,
+        kf_scale=h.p2s,
     )
 
 
@@ -2302,18 +2427,41 @@ def _estimate_volume(
         ext4 = jnp.pad(jnp.asarray(ext4), ((0, fb - f_real), (0, 0), (0, 0)))
     valid = jnp.arange(pb) < p_real
     proj_mask = jnp.arange(fb) < f_real
+    sig_j = (
+        jnp.asarray(point_sigma) if point_sigma is not None
+        else jnp.zeros(pb, jnp.float32)
+    )
+    par_j = (
+        jnp.asarray(point_parallax) if point_parallax is not None
+        else jnp.zeros(pb, jnp.float32)
+    )
+    return _volume_core(
+        pts_j, valid, proj_mask, jnp.asarray(ext4), jnp.asarray(intrinsics),
+        sig_j, par_j,
+        jnp.zeros((), jnp.float32) if rmse is None else jnp.asarray(rmse),
+        config=config, image_size=(w, h), kf_scale=kf_scale,
+        use_plane=use_plane,
+        use_sigma=point_sigma is not None and config.volume.max_point_sigma > 0,
+        use_par=point_parallax is not None and config.volume.min_parallax_deg > 0,
+    )
 
+
+def _volume_core(
+    pts_j, valid, proj_mask, ext4, intrinsics, point_sigma, point_parallax,
+    rmse, *, config, image_size, kf_scale, use_plane, use_sigma, use_par,
+):
+    """The jnp body of ``_estimate_volume`` after padding — separated so
+    the multi-video batch can run it ``vmap``ped over a stacked batch as ONE
+    device program (eight sequential per-video volume programs were ~4 s of
+    the warm batch; see ``parallel.batch._estimate_volume_batch``)."""
+    w, h = image_size
     pmask = valid
-    if point_sigma is not None and config.volume.max_point_sigma > 0:
-        precise = valid & (
-            jnp.asarray(point_sigma) <= config.volume.max_point_sigma
-        )
+    if use_sigma:
+        precise = valid & (point_sigma <= config.volume.max_point_sigma)
         # Fall back to all points if the precise subset is too thin.
         pmask = jnp.where(jnp.sum(precise) >= 32, precise, pmask)
-    if point_parallax is not None and config.volume.min_parallax_deg > 0:
-        certain = pmask & (
-            jnp.asarray(point_parallax) >= config.volume.min_parallax_deg
-        )
+    if use_par:
+        certain = pmask & (point_parallax >= config.volume.min_parallax_deg)
         pmask = jnp.where(jnp.sum(certain) >= 32, certain, pmask)
     item_mask = volume_mod.split_item_points(pts_j, pmask, use_plane=use_plane)
     # The hull's trimmed support uses the SAME gated item cloud as the carve
@@ -2362,13 +2510,25 @@ def _estimate_volume(
                     vol_hull_j.astype(jnp.float32),
                     vol_carve_j.astype(jnp.float32),
                     jnp.sum(item_mask).astype(jnp.float32),
-                    (jnp.zeros((), jnp.float32) if rmse is None
-                     else jnp.asarray(rmse).astype(jnp.float32)),
+                    rmse.astype(jnp.float32),
                 ]
             ),
             _view_regime(ext4, proj_mask, pts_j, item_mask).astype(jnp.float32),
         ]
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _make_volume_batch(config, image_size, kf_scale, use_plane):
+    """jit(vmap(_volume_core)) for a uniform video batch — ONE program for
+    every video's hull+carve+regime instead of V sequential dispatches."""
+    core = functools.partial(
+        _volume_core,
+        config=config, image_size=image_size, kf_scale=kf_scale,
+        use_plane=use_plane, use_sigma=config.volume.max_point_sigma > 0,
+        use_par=config.volume.min_parallax_deg > 0,
+    )
+    return jax.jit(jax.vmap(core))
 
 
 @jax.jit

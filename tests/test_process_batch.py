@@ -102,3 +102,39 @@ def test_smoke_threaded_front_end_and_confidence():
         # narrow-arc/elongation rule or the sparse-cloud rule fires.
         assert r.volume_confidence["low_confidence"] is True
         assert r.volume_confidence["reason"]
+
+
+class TestBatchFastPrepass:
+    def test_fast_path_matches_single(self, two_videos):
+        """The batched device scan + batched board detection
+        (``_batch_prepass``) must engage for uniform grey-keyframe batches
+        and reproduce the single-video pipeline's reconstruction."""
+        videos, scenes = two_videos
+        cfg = dataclasses.replace(CFG, pass2_enhance="grey")
+        batch = process_batch(videos, config=cfg)
+        assert len(batch) == 2
+        for res, scene, video in zip(batch, scenes, videos):
+            assert res.metrics["counters"].get("batch_fast_prepass") is True
+            single = process(video, config=cfg)
+            assert abs(res.reprojection_rmse - single.reprojection_rmse) < 0.1
+            # Same scan math, same board gating -> same keyframe set.
+            assert (
+                res.metrics["counters"]["keyframe_indices"]
+                == single.metrics["counters"]["keyframe_indices"]
+            )
+            assert abs(len(res.points) - len(single.points)) <= max(
+                5, 0.05 * len(single.points)
+            )
+            assert abs(res.intrinsics[0, 0] - scene.focal) / scene.focal < 0.05
+
+    def test_nonuniform_batch_falls_back(self, two_videos):
+        """Mixed frame counts bypass the fast prepass but still reconstruct
+        through the per-video driver."""
+        videos, scenes = two_videos
+        cfg = dataclasses.replace(CFG, pass2_enhance="grey")
+        mixed = [videos[0], videos[1][:20]]
+        batch = process_batch(mixed, config=cfg)
+        assert len(batch) == 2
+        for res in batch:
+            assert res.metrics["counters"].get("batch_fast_prepass") is None
+            assert np.isfinite(res.reprojection_rmse)
