@@ -118,38 +118,48 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
     p2s = config.pass2_downscale or (2 if min_dim >= 1060 else 1)
     pattern = config.chessboard.pattern
 
-    # Host C++ decimation (the only remaining per-frame host work).
-    smalls = np.stack([native_ops.bgr_to_grey_down(c, scale) for c in clips])
     from meatmodeler_tpu.io.native_pass1 import HostPass1Scanner, host_pass1_available
 
-    if host_pass1_available():
-        # The scalar C++ scan is ~5x cheaper than the device scan for this
-        # role (measured 0.15 s vs ~0.7 s per 60-frame clip: the device
-        # scan's per-point LK gathers serialize inside the compiled step,
-        # and vmapping videos multiplies the serial chain). Keyframe flags
-        # land directly; the CLAHE'd enhanced frames for board detection
-        # come from the scanner itself.
-        flags_rows, enh_rows = [], []
-        for vi in range(len(clips)):
-            scanner = HostPass1Scanner(
-                config, smalls.shape[2], smalls.shape[3], full_width=w
-            )
-            f, enh = scanner.scan(smalls[vi], bootstrap_at=0)
-            flags_rows.append(f[1:])
-            enh_rows.append(enh)
-        flags = np.stack(flags_rows)
-        enh_dev = np.clip(np.round(np.stack(enh_rows)), 0, 255).astype(np.uint8)
-    else:
-        flags_dev, enh_dev = _pl._make_batch_scan(config)(
+    cb = config.chessboard
+    device_fits = (
+        pattern[0] * pattern[1] <= cb.detect_candidates
+        and cb.detector in ("device", "auto")
+    )
+    use_cpp = host_pass1_available()
+
+    # Interleaved per-video prepass: decimate + C++ scan video vi on the
+    # host, then immediately DISPATCH its keyframes' board detection and
+    # pass-2 keyframe upload (both async device work) before scanning video
+    # vi+1 — the device detects boards for video vi while the host CPU
+    # scans vi+1, and ONE coalesced readback at the end collects every
+    # video's results. (The scalar C++ scan is ~5x cheaper than the device
+    # scan for this role — the device scan's per-point LK gathers serialize
+    # inside the compiled step, and vmapping videos multiplies the chain.)
+    smalls_list, kf_idx_all, enh_small_rows = [], [], []
+    board_handles = [None] * len(clips)
+    greys2_dev_all = [None] * len(clips)
+    if not use_cpp:
+        smalls = np.stack(
+            [native_ops.bgr_to_grey_down(c, scale) for c in clips]
+        )
+        flags_dev, enh_all = _pl._make_batch_scan(config)(
             jnp.asarray(smalls), width_scale=scale
         )
-        flags = np.asarray(flags_dev)  # ONE sync for the whole batch's pass 1
-
-    # Keyframe index sets first, so board detection for the WHOLE batch can
-    # run as one cross-video program + one readback below.
-    kf_idx_all = []
-    for vi in range(len(clips)):
-        kf_idx = [0] + [int(i) + 1 for i in np.nonzero(flags[vi])[0]]
+        flags_all = np.asarray(flags_dev)  # ONE sync for the batch's pass 1
+    for vi, clip in enumerate(clips):
+        if use_cpp:
+            small = native_ops.bgr_to_grey_down(clip, scale)
+            scanner = HostPass1Scanner(
+                config, small.shape[1], small.shape[2], full_width=w
+            )
+            f, enh = scanner.scan(small, bootstrap_at=0)
+            flags = f[1:]
+        else:
+            small = smalls[vi]
+            flags = flags_all[vi]
+            enh = None
+        smalls_list.append(small)
+        kf_idx = [0] + [int(i) + 1 for i in np.nonzero(flags)[0]]
         if len(kf_idx) > config.tracks.max_keyframes:
             raise ValueError(
                 f"{len(kf_idx)} keyframes exceed tracks.max_keyframes="
@@ -157,30 +167,40 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
                 "keyframe threshold"
             )
         kf_idx_all.append(kf_idx)
-
-    dev_results_all = [None] * len(clips)
-    need_detect = [
-        vi for vi in range(len(clips)) if known_corners[vi] is None
-    ]
-    cb = config.chessboard
-    device_fits = (
-        pattern[0] * pattern[1] <= cb.detect_candidates
-        and cb.detector in ("device", "auto")
-    )
-    if need_detect and device_fits:
-        flat = [
-            (vi, li)
-            for vi in need_detect
-            for li in range(len(kf_idx_all[vi]))
-        ]
-        cand = _pl._detect_board_device_batch(
-            [enh_dev[vi][kf_idx_all[vi][li]] for vi, li in flat],
-            pattern, scale, cb,
+        if enh is not None:
+            enh_small = np.clip(
+                np.round(enh[kf_idx]), 0, 255
+            ).astype(np.uint8)
+        else:
+            enh_small = enh_all[vi, jnp.asarray(kf_idx)]
+        enh_small_rows.append(enh_small)
+        # Async device dispatches for THIS video while the next one scans:
+        if known_corners[vi] is None and device_fits:
+            enh_small_dev = jax.device_put(np.asarray(enh_small)) if enh is not None else enh_small
+            enh_small_rows[-1] = enh_small_dev
+            board_handles[vi] = _pl._detect_board_device_dispatch(
+                [enh_small_dev[i] for i in range(len(kf_idx))], pattern, cb
+            )
+        greys2_dev_all[vi] = jax.device_put(
+            native_ops.bgr_to_grey_down(np.ascontiguousarray(clip[kf_idx]), p2s)
         )
-        for (vi, li), c in zip(flat, cand):
-            if dev_results_all[vi] is None:
-                dev_results_all[vi] = {}
-            dev_results_all[vi][li] = c
+
+    # ONE coalesced readback for every video's board detection.
+    dev_results_all = [None] * len(clips)
+    pend = [vi for vi in range(len(clips)) if board_handles[vi] is not None]
+    if pend:
+        fused_all = jax.device_get(
+            jnp.concatenate([board_handles[vi] for vi in pend])
+        )
+        off = 0
+        for vi in pend:
+            n_pad = int(board_handles[vi].shape[0])
+            cand = _pl._detect_board_finish(
+                fused_all[off : off + n_pad], len(kf_idx_all[vi]), pattern,
+                scale,
+            )
+            off += n_pad
+            dev_results_all[vi] = dict(enumerate(cand))
 
     out = []
     for vi, clip in enumerate(clips):
@@ -188,12 +208,8 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
         kf_idx = kf_idx_all[vi]
         metrics.count("frames_total", t)
         metrics.count("keyframes_selected", len(kf_idx))
-        # Pass-2 keyframes: host-decimate only the selected frames to the
-        # working resolution, upload as ONE array per video.
-        greys2 = native_ops.bgr_to_grey_down(
-            np.ascontiguousarray(clip[kf_idx]), p2s
-        )
-        greys2_dev = jax.device_put(greys2)
+        # Pass-2 keyframes were decimated + uploaded inside the scan loop.
+        greys2_dev = greys2_dev_all[vi]
         kf_frames = [greys2_dev[i] for i in range(len(kf_idx))]
 
         known = known_corners[vi]
@@ -210,8 +226,8 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
                 kept_frames, kept_corners, kept_idx = _pl._resolve_board_corners(
                     kf_frames,
                     [None] * len(kf_idx),
-                    [enh_dev[vi][g] for g in kf_idx],
-                    [smalls[vi, g] for g in kf_idx],
+                    [enh_small_rows[vi][i] for i in range(len(kf_idx))],
+                    [smalls_list[vi][g] for g in kf_idx],
                     kf_idx,
                     pattern,
                     scale,
@@ -289,40 +305,31 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
     with ThreadPoolExecutor(max_workers=min(2, max(n_videos, 1))) as pool:
         pres = list(pool.map(reconstruct, range(n_videos)))
     _mark("pass2 dispatch")
+    cams_cache, intr_cache = {}, {}
     handle_rows = [
         i for i, p in enumerate(pres) if isinstance(p, _pl._P2Handles)
     ]
     if handle_rows:
-        # STACK each leaf kind across videos on device and fetch ONE buffer
-        # per kind: the tunneled link pays ~130 ms PER BUFFER regardless of
-        # size, so 8 videos x 7 store leaves as separate buffers cost ~5 s
-        # where 7 stacked buffers cost ~1 (keyframe axes pad to the widest
-        # video's bucket first).
-        leaves = [_pl._p2_fetch_leaves(pres[i]) for i in handle_rows]
-        fb_common = max(l[2].shape[1] for l in leaves)
-
-        def pad_f(x, axis):
-            pad = fb_common - x.shape[axis]
-            if not pad:
-                return x
-            widths = [(0, 0)] * x.ndim
-            widths[axis] = (0, pad)
-            return jnp.pad(x, widths)
-
-        stacked = (
-            jnp.stack([l[0] for l in leaves]),  # tri_valid
-            jnp.stack([l[1] for l in leaves]),  # track_parallax
-            jnp.stack([pad_f(l[2], 1) for l in leaves]),  # coords
-            jnp.stack([pad_f(l[3], 1) for l in leaves]),  # obs_mask
-            jnp.stack([l[4] for l in leaves]),  # used
-            jnp.stack([l[5] for l in leaves]),  # points
-            jnp.stack([pad_f(l[6], 1) for l in leaves]),  # octaves
+        # Pack EVERY leaf of EVERY video into ONE device buffer and fetch it
+        # with a single round trip: the tunneled link charges ~0.5-1 s PER
+        # BUFFER regardless of size (keyframe axes pad to the widest video's
+        # bucket so the rows stack).
+        fb_common = max(
+            pres[i].store.coords.shape[1] for i in handle_rows
         )
-        fetched_np = jax.device_get(stacked)
+        packed = jnp.stack(
+            [_pl._p2_pack_device(pres[i], fb_common) for i in handle_rows]
+        )
+        packed_np = jax.device_get(packed)
+        t_cap = int(pres[handle_rows[0]].store.coords.shape[0])
         for row, i in enumerate(handle_rows):
-            pres[i] = _pl._finish_preba(
-                pres[i], tuple(leaf[row] for leaf in fetched_np)
+            leaves7, cams, intr = _pl._p2_unpack(
+                packed_np[row], t_cap, fb_common
             )
+            n_kf_i = pres[i].n_kf
+            cams_cache[i] = cams[:n_kf_i]
+            intr_cache[i] = intr
+            pres[i] = _pl._finish_preba(pres[i], leaves7)
     _mark("preba fetch+finish")
 
     # ---- pad every video's BA problem to shared static capacities ----
@@ -330,14 +337,24 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
     p_max = max(len(p.points) for p in pres)
     o_max = max(len(p.obs) for p in pres)
 
-    # ONE batched fetch for every video's camera params + intrinsics (the
-    # per-video np.asarray calls each paid a link round trip).
-    cams_np, intr_np_list = jax.device_get(
-        (
-            [projection.params_from_extrinsics(p.ext_refined) for p in pres],
-            [p.intrinsics for p in pres],
+    # Camera params + intrinsics came packed with the store fetch for fast-
+    # path videos; legacy-path videos fetch theirs in one batched call.
+    legacy_rows = [i for i in range(n_videos) if i not in cams_cache]
+    if legacy_rows:
+        cams_leg, intr_leg = jax.device_get(
+            (
+                [
+                    projection.params_from_extrinsics(pres[i].ext_refined)
+                    for i in legacy_rows
+                ],
+                [pres[i].intrinsics for i in legacy_rows],
+            )
         )
-    )
+        for i, c, k in zip(legacy_rows, cams_leg, intr_leg):
+            cams_cache[i] = np.asarray(c)
+            intr_cache[i] = np.asarray(k)
+    cams_np = [cams_cache[i] for i in range(n_videos)]
+    intr_np_list = [intr_cache[i] for i in range(n_videos)]
 
     def problem(pre, cams, intr) -> bundle_adjust.BAProblem:
         # HOST-side numpy fields: the batch stacks every video's problem on
@@ -483,15 +500,37 @@ def _process_batch_inner(videos, config, mesh, paths, known_corners):
         fused_b = fused_handles
     else:
         fused_b = jnp.stack(fused_handles)
-    pts_all, rmse_np, iters_np, ext4_all, fused_all = jax.device_get(
-        (
-            result.points[:n_videos],
-            result.rmse[:n_videos],
-            result.iterations[:n_videos],
-            ext4_b,
-            fused_b,
-        )
+    # ONE packed buffer for the whole result set (see _p2_pack_device for
+    # the per-buffer link-latency rationale).
+    p_pad = result.points.shape[1]
+    packed_tail = jnp.concatenate(
+        [
+            result.points[:n_videos].astype(jnp.float32).reshape(-1),
+            result.rmse[:n_videos].astype(jnp.float32).reshape(-1),
+            result.iterations[:n_videos].astype(jnp.float32).reshape(-1),
+            ext4_b.astype(jnp.float32).reshape(-1),
+            fused_b.astype(jnp.float32).reshape(-1),
+        ]
     )
+    if _dbg:
+        jax.block_until_ready(result.points)
+        _mark("solve exec")
+        jax.block_until_ready(fused_b)
+        _mark("volume exec")
+    tail_np = jax.device_get(packed_tail)
+    _off = 0
+
+    def _take(n, shape):
+        nonlocal _off
+        x = tail_np[_off : _off + n].reshape(shape)
+        _off += n
+        return x
+
+    pts_all = _take(n_videos * p_pad * 3, (n_videos, p_pad, 3))
+    rmse_np = _take(n_videos, (n_videos,))
+    iters_np = _take(n_videos, (n_videos,))
+    ext4_all = _take(n_videos * fb_all * 16, (n_videos, fb_all, 4, 4))
+    fused_all = _take(n_videos * 6, (n_videos, 6))
     _mark("final fetch")
     pts_np = [pts_all[i, : len(pres[i].points)] for i in range(n_videos)]
     ext4_np = [ext4_all[i, : pres[i].n_kf] for i in range(n_videos)]

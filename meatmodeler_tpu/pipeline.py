@@ -812,6 +812,46 @@ def _make_board_detect_batch(pattern, max_candidates, tol, exact_topk=False):
     return board_detect_batch
 
 
+def _detect_board_device_dispatch(smalls_dev, pattern, cb_cfg):
+    """Dispatch half of the batched on-device board detection: returns the
+    fused (n_padded, 1 + 2N) DEVICE array (ok flag + flattened corners per
+    frame) without reading it back — callers (the multi-video batch) can
+    overlap the detection's device time with other host work and coalesce
+    many videos' results into one readback."""
+    run = _make_board_detect_batch(
+        tuple(pattern), cb_cfg.detect_candidates, cb_cfg.detect_tol,
+        cb_cfg.detect_exact_topk,
+    )
+    mb = _DETECT_MINIBATCH
+    n = len(smalls_dev)
+    padded = list(smalls_dev) + [smalls_dev[-1]] * ((-n) % mb)
+    dets = [run(jnp.stack(padded[i : i + mb])) for i in range(0, len(padded), mb)]
+    cor_flat = jnp.concatenate(
+        [d.corners.reshape(d.corners.shape[0], -1) for d in dets]
+    )
+    ok_col = jnp.concatenate([d.ok for d in dets]).astype(cor_flat.dtype)[:, None]
+    return jnp.concatenate([ok_col, cor_flat], axis=1)
+
+
+def _detect_board_finish(fused_np, n, pattern, scale):
+    """Host half: fused rows -> list of canonicalized full-res corners or
+    None, with the planar-homography validation gate."""
+    fused_np = np.asarray(fused_np)[:n]
+    ok = fused_np[:, 0] > 0.5
+    n_pts = (fused_np.shape[1] - 1) // 2
+    corners = fused_np[:, 1:].reshape(n, n_pts, 2)
+    out = []
+    for i in range(n):
+        if not ok[i]:
+            out.append(None)
+            continue
+        c = chessboard.canonicalize_corners(
+            np.asarray(corners[i], np.float32) * scale, pattern
+        )
+        out.append(None if _board_fit_residual(c, pattern) > 3.0 * scale else c)
+    return out
+
+
 def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
     """BATCHED on-device detection over a list of device-resident greys.
 
@@ -824,35 +864,8 @@ def _detect_board_device_batch(smalls_dev, pattern, scale, cb_cfg):
     """
     if not smalls_dev:
         return []
-    run = _make_board_detect_batch(
-        tuple(pattern), cb_cfg.detect_candidates, cb_cfg.detect_tol,
-        cb_cfg.detect_exact_topk,
-    )
-    out = []
-    mb = _DETECT_MINIBATCH
-    n = len(smalls_dev)
-    padded = list(smalls_dev) + [smalls_dev[-1]] * ((-n) % mb)
-    dets = [run(jnp.stack(padded[i : i + mb])) for i in range(0, len(padded), mb)]
-    # ONE readback for all minibatches: ok flags and corners ride one fused
-    # array (separate per-batch fetches each pay the tunneled link's
-    # ~80-130 ms round trip — 6 fetches dominated this stage's wall clock).
-    n_pts = int(dets[0].corners.shape[1])
-    cor_flat = jnp.concatenate(
-        [d.corners.reshape(d.corners.shape[0], -1) for d in dets]
-    )
-    ok_col = jnp.concatenate([d.ok for d in dets]).astype(cor_flat.dtype)[:, None]
-    fused = np.asarray(jnp.concatenate([ok_col, cor_flat], axis=1))[:n]
-    ok = fused[:, 0] > 0.5
-    corners = fused[:, 1:].reshape(n, n_pts, 2)
-    for i in range(n):
-        if not ok[i]:
-            out.append(None)
-            continue
-        c = chessboard.canonicalize_corners(
-            np.asarray(corners[i], np.float32) * scale, pattern
-        )
-        out.append(None if _board_fit_residual(c, pattern) > 3.0 * scale else c)
-    return out
+    fused = _detect_board_device_dispatch(smalls_dev, pattern, cb_cfg)
+    return _detect_board_finish(np.asarray(fused), len(smalls_dev), pattern, scale)
 
 
 def _resolve_board_corners(
@@ -2072,6 +2085,68 @@ class _P2Handles(NamedTuple):
     p2s: int
     image_size: Tuple[int, int]
     scale_factor: float
+
+
+def _p2_pack_device(h: "_P2Handles", fb_common: int):
+    """Device-side packing of every fetch leaf into ONE float32 buffer.
+
+    The tunneled link charges a full round trip PER BUFFER (measured
+    ~0.5-1 s each in typical weather), so the multi-video batch packs the
+    whole store fetch — all leaves, all videos — into a single array.
+    Keyframe axes pad to ``fb_common`` first so videos stack. float32
+    carries every leaf exactly: coords/points/parallax are f32 already,
+    octaves are small ints, the rest are bools."""
+    s = h.store
+    f32 = jnp.float32
+
+    def pad_f(x):
+        pad = fb_common - x.shape[1]
+        if not pad:
+            return x
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths)
+
+    return jnp.concatenate(
+        [
+            h.tri_valid.astype(f32),
+            h.track_parallax.astype(f32),
+            pad_f(s.coords).astype(f32).reshape(-1),
+            pad_f(s.obs_mask).astype(f32).reshape(-1),
+            s.used.astype(f32),
+            s.points.astype(f32).reshape(-1),
+            pad_f(s.octaves).astype(f32).reshape(-1),
+            # Extras the batch's BA-problem build needs on host — packing
+            # them here saves two more round trips per batch:
+            jnp.pad(
+                projection.params_from_extrinsics(h.ext_refined).astype(f32),
+                ((0, fb_common - h.n_kf), (0, 0)),
+            ).reshape(-1),
+            h.intrinsics.astype(f32).reshape(-1),
+        ]
+    )
+
+
+def _p2_unpack(flat: np.ndarray, t_cap: int, fb: int):
+    """Inverse of ``_p2_pack_device`` for one video's row."""
+    o = 0
+
+    def take(n, shape, dtype=None):
+        nonlocal o
+        x = flat[o : o + n]
+        o += n
+        x = x.reshape(shape)
+        return x if dtype is None else x.astype(dtype)
+
+    tri_valid = take(t_cap, (t_cap,)) > 0.5
+    parallax = take(t_cap, (t_cap,)).astype(np.float32)
+    coords = take(t_cap * fb * 2, (t_cap, fb, 2)).astype(np.float32)
+    obs_mask = take(t_cap * fb, (t_cap, fb)) > 0.5
+    used = take(t_cap, (t_cap,)) > 0.5
+    points = take(t_cap * 3, (t_cap, 3)).astype(np.float32)
+    octaves = take(t_cap * fb, (t_cap, fb)).astype(np.int32)
+    cams = take(fb * 6, (fb, 6)).astype(np.float32)
+    intr = take(9, (3, 3)).astype(np.float32)
+    return (tri_valid, parallax, coords, obs_mask, used, points, octaves), cams, intr
 
 
 def _p2_fetch_leaves(h: "_P2Handles"):

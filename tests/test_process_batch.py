@@ -105,6 +105,20 @@ def test_smoke_threaded_front_end_and_confidence():
 
 
 class TestBatchFastPrepass:
+    def test_fast_path_engages_and_reconstructs(self):
+        """Quick-suite smoke: the batched prepass must engage for a uniform
+        grey-keyframe batch and produce a sane reconstruction (the full
+        vs-single equivalence check is the slow test below)."""
+        s = TurntableScene(image_size=(400, 300), focal=420.0, noise_sigma=1.0)
+        v, _, _ = render_sequence(s, 16, seed=3)
+        cfg = dataclasses.replace(CFG, pass2_enhance="grey")
+        batch = process_batch([v, v], config=cfg)
+        for res in batch:
+            assert res.metrics["counters"].get("batch_fast_prepass") is True
+            assert np.isfinite(res.reprojection_rmse)
+            assert res.reprojection_rmse < 1.0
+
+    @pytest.mark.slow
     def test_fast_path_matches_single(self, two_videos):
         """The batched device scan + batched board detection
         (``_batch_prepass``) must engage for uniform grey-keyframe batches
@@ -127,6 +141,7 @@ class TestBatchFastPrepass:
             )
             assert abs(res.intrinsics[0, 0] - scene.focal) / scene.focal < 0.05
 
+    @pytest.mark.slow
     def test_nonuniform_batch_falls_back(self, two_videos):
         """Mixed frame counts bypass the fast prepass but still reconstruct
         through the per-video driver."""
