@@ -138,6 +138,22 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
     smalls_list, kf_idx_all, enh_small_rows = [], [], []
     board_handles = [None] * len(clips)
     greys2_dev_all = [None] * len(clips)
+    prefetch_all = [None] * len(clips)
+    # The prefetch minibatches gate on the pass-2 warmup event (compile
+    # serialization); the per-video pass-1 drivers normally start that
+    # warmup thread — the batch prepass replaces them, so it must too.
+    import threading
+
+    threading.Thread(
+        target=_pl._warm_pass2,
+        args=(
+            config,
+            (h // p2s, w // p2s),
+            (h // scale, w // scale),
+            tuple(pattern),
+        ),
+        daemon=True,
+    ).start()
     if not use_cpp:
         smalls = np.stack(
             [native_ops.bgr_to_grey_down(c, scale) for c in clips]
@@ -184,6 +200,14 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
         greys2_dev_all[vi] = jax.device_put(
             native_ops.bgr_to_grey_down(np.ascontiguousarray(clip[kf_idx]), p2s)
         )
+        # Prefetch pass-2 enhance+ORB for THIS video's keyframes too — the
+        # same overlap trick the single-video host scan uses: ORB is the
+        # batch's single largest device cost (~4.2 s for 8x11 keyframes)
+        # and executes here behind the remaining videos' C++ scans.
+        pf = _pl._Pass2Prefetch(config)
+        for i in range(len(kf_idx)):
+            pf.add(greys2_dev_all[vi][i])
+        prefetch_all[vi] = pf
 
     # ONE coalesced readback for every video's board detection.
     dev_results_all = [None] * len(clips)
@@ -237,6 +261,8 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
                     dev_results=dev_results_all[vi],
                 )
         if len(kept_frames) < 3:
+            if prefetch_all[vi] is not None:
+                prefetch_all[vi].discard()
             out.append(None)  # board-free/starved: full per-video driver
             continue
         metrics.count("keyframes", len(kept_frames))
@@ -253,6 +279,8 @@ def _batch_prepass(videos, config, known_corners, metrics_list):
                 frame_idx=t,
                 p2s=p2s,
                 markerless=False,
+                prefetch=prefetch_all[vi],
+                prefetch_indices=kf_idx,
             )
         )
     return out
