@@ -678,6 +678,15 @@ def run_markerless(frames, gt_poses, scene, focal: float = 0.0) -> dict:
     config = dataclasses.replace(
         bench_config(),
         pass1_downscale=4,  # 720p: /4 host scan still selects densely enough
+        # No displacement trigger here: the marker-free chain needs PER-PAIR
+        # baseline (each step is an essential-matrix/PnP problem), and the
+        # denser keyframes the trigger selects SHRINK per-pair parallax —
+        # measured: 8 -> 14 keyframes collapsed the chain's cloud 1977 ->
+        # 734 points and doubled aligned pose error. The trigger exists for
+        # short BOARD clips, whose pose comes per-frame from the board.
+        keyframe=dataclasses.replace(
+            bench_config().keyframe, flow_threshold=0.0
+        ),
         markerless_focal=focal,
         # The deployment pose this variant models: the caller knows the
         # footage has no board (and supplies EXIF focal when available), so
@@ -1018,19 +1027,30 @@ def run_pp_bench(config) -> dict:
     clips[0] = np.ascontiguousarray(clips[0])
     total = sum(len(c) for c in clips)
 
-    # Warm both paths once (shared programs), then time.
+    # Warm both paths once (shared programs), then INTERLEAVE the timed
+    # samples (S, P, S, P) and take medians: the tunneled link's throttle
+    # spells last minutes, and back-to-back blocks let one spell land
+    # entirely on one schedule (a round-5 run recorded a bogus 15x
+    # "speedup" exactly that way).
     process_batch_pipelined(clips, config=config)
-    t0 = time.perf_counter()
-    rs_pp = process_batch_pipelined(clips, config=config)
-    pp_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rs_seq = [process(c, config=config) for c in clips]
-    seq_s = time.perf_counter() - t0
+    seq_samples, pp_samples = [], []
+    rs_pp = rs_seq = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rs_seq = [process(c, config=config) for c in clips]
+        seq_samples.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rs_pp = process_batch_pipelined(clips, config=config)
+        pp_samples.append(time.perf_counter() - t0)
+    pp_s = float(np.median(pp_samples))
+    seq_s = float(np.median(seq_samples))
     return {
         "videos": len(clips),
         "frames_total": total,
         "pipelined_s": round(pp_s, 2),
         "sequential_s": round(seq_s, 2),
+        "pipelined_samples_s": [round(t, 2) for t in pp_samples],
+        "sequential_samples_s": [round(t, 2) for t in seq_samples],
         "pipelined_fps": round(total / pp_s, 2),
         "sequential_fps": round(total / seq_s, 2),
         "speedup": round(seq_s / pp_s, 3),
